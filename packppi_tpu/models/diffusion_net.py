@@ -1,0 +1,79 @@
+"""The chi-angle score network: encoder -> IPMP stack -> score decoder.
+
+One flax module = one jitted forward. The reverse-diffusion sampler wraps
+this in a lax.scan (packppi_tpu.sampling), the trainer in a pjit step
+(packppi_tpu.train). Mirrors the reference's composition (reference:
+src/models/TorsionalDiffusion.py:39-109).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from packppi_tpu.data.batch import ProteinBatch
+from packppi_tpu.models.encoder import ProteinEncoder
+from packppi_tpu.models.ipmp import MessagePassingStack
+from packppi_tpu.models.layers import MLP
+
+
+@dataclasses.dataclass(frozen=True)
+class NetworkConfig:
+    node_features: int = 128
+    edge_features: int = 128
+    hidden_dim: int = 128
+    num_mpnn_layers: int = 3
+    n_points: int = 8
+    dropout: float = 0.1
+    act: str = "relu"
+    position_scale: float = 1.0
+    use_ipmp: bool = True
+    k_neighbors: int = 32
+    time_embedding_dim: int = 16
+    num_rbf: int = 16
+    top_k: int = 32
+
+
+class ChiScoreNetwork(nn.Module):
+    cfg: NetworkConfig = NetworkConfig()
+
+    @nn.compact
+    def __call__(self, batch: ProteinBatch, SC_D_noised: jnp.ndarray,
+                 t: jnp.ndarray, deterministic: bool = True):
+        """Args:
+            batch: padded protein batch.
+            SC_D_noised: [B, L, 4] noised chi angles.
+            t: [B, L] per-residue diffusion time.
+
+        Returns:
+            (score [B, L, 4], h_V [B, L, hidden]).
+        """
+        c = self.cfg
+        sc_sincos = jnp.stack([jnp.sin(SC_D_noised), jnp.cos(SC_D_noised)], -1)
+        sc_sincos = sc_sincos * batch.SC_D_mask[..., None]
+
+        h_V, h_E, idx = ProteinEncoder(
+            node_features=c.node_features,
+            edge_features=c.edge_features,
+            time_embedding_dim=c.time_embedding_dim,
+            num_rbf=c.num_rbf,
+            top_k=c.top_k,
+        )(batch.X, batch.residue_type, batch.BB_D_sincos, sc_sincos,
+          batch.chain_indices, batch.residue_mask, batch.residue_index, t)
+
+        h_V = MessagePassingStack(
+            hidden_dim=c.hidden_dim,
+            num_layers=c.num_mpnn_layers,
+            n_points=c.n_points,
+            dropout=c.dropout,
+            act=c.act,
+            position_scale=c.position_scale,
+            use_ipmp=c.use_ipmp,
+            k_neighbors=c.k_neighbors,
+        )(h_V, h_E, idx, batch.X, batch.residue_mask, deterministic)
+
+        score = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2)(h_V)
+        score = nn.relu(score)
+        score = MLP(c.hidden_dim // 8, 4, 2)(score)
+        return score, h_V

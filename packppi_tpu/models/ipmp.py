@@ -1,0 +1,158 @@
+"""Invariant point message passing + vanilla MPNN layers.
+
+IPMP (reference: src/models/components/layers.py:36-148): each node predicts
+``n_points`` 3D points in its backbone frame; messages mix neighbor hidden
+states with frame-invariant point geometry (local points, cross-frame
+projections, point-pair distances). All gathers are dense [B, L, K] ops; the
+frame algebra uses the functional Rigid pytree, so the whole layer is one
+fused XLA computation.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from packppi_tpu.geometry.rigid import Rigid, bb_frames_from_atom14, invert_apply, rigid_apply, scale_translation
+from packppi_tpu.models.layers import MLP
+from packppi_tpu.ops.graph import gather_nodes
+
+
+def _norm(v, eps=1e-8):
+    return jnp.sqrt(jnp.sum(v * v, -1) + eps)
+
+
+class InvariantPointLayer(nn.Module):
+    hidden_dim: int = 128
+    n_points: int = 8
+    dropout: float = 0.1
+    act: str = "relu"
+    edge_update: bool = True
+    position_scale: float = 1.0
+
+    def _message_input(self, h_V, h_E, idx, frames, points_fn):
+        p_local = points_fn(h_V).reshape(*h_V.shape[:-1], self.n_points, 3)     # [B,L,P,3]
+        frames_p = Rigid(frames.rot[..., None, :, :], frames.trans[..., None, :])
+        p_global = rigid_apply(frames_p, p_local)                                # [B,L,P,3]
+
+        nbr_p_global = gather_nodes(p_global, idx)                               # [B,L,K,P,3]
+        frames_pk = Rigid(frames.rot[..., None, None, :, :], frames.trans[..., None, None, :])
+        nbr_p_local = invert_apply(frames_pk, nbr_p_global)                      # [B,L,K,P,3]
+
+        K = idx.shape[-1]
+        p_local_k = jnp.broadcast_to(p_local[:, :, None], (*idx.shape, self.n_points, 3))
+        p_global_k = jnp.broadcast_to(p_global[:, :, None], (*idx.shape, self.n_points, 3))
+
+        h_V_j = gather_nodes(h_V, idx)                                           # [B,L,K,F]
+        h_V_i = jnp.broadcast_to(h_V[:, :, None], (*idx.shape, h_V.shape[-1]))
+
+        flatten = lambda x: x.reshape(*idx.shape, -1)
+        return jnp.concatenate([
+            h_V_i,
+            h_E,
+            h_V_j,
+            flatten(p_local_k),                  # node i's points (local)
+            _norm(p_local_k),                    # their distance to i's CA
+            flatten(nbr_p_local),                # node j's points in i's frame
+            _norm(nbr_p_local),
+            _norm(p_global_k - nbr_p_global),    # global point-pair distances
+        ], -1)
+
+    @nn.compact
+    def __call__(self, h_V, h_E, idx, X, mask_V=None, mask_attend=None,
+                 deterministic: bool = True):
+        frames = scale_translation(bb_frames_from_atom14(X), 1.0 / self.position_scale)
+
+        points_node = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
+        msg_in = self._message_input(h_V, h_E, idx, frames, points_node)
+        msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act)(msg_in)
+        if mask_attend is not None:
+            msg = msg * mask_attend[..., None]
+        msg = jnp.mean(msg, axis=-2)
+
+        drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        h_V = nn.LayerNorm()(h_V + drop(msg))
+        h_V = nn.LayerNorm()(h_V + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act)(h_V)))
+        if mask_V is not None:
+            h_V = h_V * mask_V[..., None]
+
+        if self.edge_update:
+            points_edge = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
+            msg_in = self._message_input(h_V, h_E, idx, frames, points_edge)
+            e_msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act)(msg_in)
+            if mask_attend is not None:
+                e_msg = e_msg * mask_attend[..., None]
+            h_E = nn.LayerNorm()(h_E + drop(e_msg))
+            h_E = nn.LayerNorm()(h_E + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act)(h_E)))
+            if mask_attend is not None:
+                h_E = h_E * mask_attend[..., None]
+
+        return h_V, h_E
+
+
+class VanillaMPNNLayer(nn.Module):
+    """Sum-pooled message passing without geometry (reference:
+    src/models/components/layers.py:151-208)."""
+
+    hidden_dim: int = 128
+    dropout: float = 0.1
+    act: str = "relu"
+    edge_update: bool = True
+    scale: float = 32.0
+
+    @nn.compact
+    def __call__(self, h_V, h_E, idx, X=None, mask_V=None, mask_attend=None,
+                 deterministic: bool = True):
+        h_V_j = gather_nodes(h_V, idx)
+        h_V_i = jnp.broadcast_to(h_V[:, :, None], h_V_j.shape)
+        h_in = jnp.concatenate([h_V_i, h_E, h_V_j], -1)
+        msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act)(h_in)
+        if mask_attend is not None:
+            msg = msg * mask_attend[..., None]
+        dh = jnp.sum(msg, -2) / self.scale
+
+        drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        h_V = nn.LayerNorm()(h_V + drop(dh))
+        h_V = nn.LayerNorm()(h_V + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act)(h_V)))
+        if mask_V is not None:
+            h_V = h_V * mask_V[..., None]
+
+        if self.edge_update:
+            h_V_j = gather_nodes(h_V, idx)
+            h_V_i = jnp.broadcast_to(h_V[:, :, None], h_V_j.shape)
+            h_in = jnp.concatenate([h_V_i, h_E, h_V_j], -1)
+            e_msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act)(h_in)
+            h_E = nn.LayerNorm()(h_E + drop(e_msg))
+
+        return h_V, h_E
+
+
+class MessagePassingStack(nn.Module):
+    """num_layers of IPMP (geometric) or vanilla MPNN message passing
+    (reference: src/models/components/mpnn.py:7-62)."""
+
+    hidden_dim: int = 128
+    num_layers: int = 3
+    n_points: int = 8
+    dropout: float = 0.1
+    act: str = "relu"
+    position_scale: float = 1.0
+    use_ipmp: bool = True
+    k_neighbors: int = 32
+
+    @nn.compact
+    def __call__(self, h_V, h_E, idx, X, mask, deterministic: bool = True):
+        mask_attend = gather_nodes(mask[..., None], idx).squeeze(-1)
+        mask_attend = mask[..., None] * mask_attend
+
+        for _ in range(self.num_layers):
+            if self.use_ipmp:
+                h_V, h_E = InvariantPointLayer(
+                    self.hidden_dim, self.n_points, self.dropout, self.act,
+                    edge_update=True, position_scale=self.position_scale,
+                )(h_V, h_E, idx, X, mask, mask_attend, deterministic)
+            else:
+                h_V, h_E = VanillaMPNNLayer(
+                    self.hidden_dim, self.dropout, self.act,
+                    edge_update=True, scale=float(self.k_neighbors),
+                )(h_V, h_E, idx, X, mask, mask_attend, deterministic)
+        return h_V

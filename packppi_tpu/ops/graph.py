@@ -1,0 +1,49 @@
+"""Dense masked graph ops.
+
+The residue graph is k-nearest-neighbor sparse, but on TPU we keep it as
+dense gathers over padded [B, L, K] index tensors — XLA turns these into
+efficient dynamic-gathers, and there are no ragged shapes anywhere.
+(reference builds the same graph with torch.topk + gather; reference:
+src/models/components/encoder.py:105-118, src/models/components/__init__.py:9-36)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_knn(coords: jnp.ndarray, mask: jnp.ndarray, k: int, eps: float = 1e-6):
+    """k nearest neighbors (self included) under a validity mask.
+
+    Args:
+        coords: [B, L, 3] CA positions.
+        mask: [B, L] 1.0 for real residues.
+        k: neighbor count (clamped to L).
+
+    Returns:
+        (D_neighbors [B, L, K], idx [B, L, K] int32) — invalid pairs are
+        pushed beyond the max distance so they sort last.
+    """
+    k = min(k, coords.shape[-2])
+    mask2d = mask[..., :, None] * mask[..., None, :]
+    diff = coords[..., :, None, :] - coords[..., None, :, :]
+    D = mask2d * jnp.sqrt(jnp.sum(diff * diff, -1) + eps)
+    D_max = jnp.max(D, -1, keepdims=True)
+    D_adjusted = D + 2.0 * (1.0 - mask2d) * D_max
+    neg_d, idx = jax.lax.top_k(-D_adjusted, k)
+    return -neg_d, idx.astype(jnp.int32)
+
+
+def gather_nodes(nodes: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """nodes [B, L, *F] at idx [B, L, K] -> [B, L, K, *F]."""
+    B, L = nodes.shape[:2]
+    feat_shape = nodes.shape[2:]
+    flat_idx = idx.reshape(B, -1, *([1] * max(1, len(feat_shape))))
+    flat_nodes = nodes.reshape(B, L, -1) if feat_shape else nodes.reshape(B, L, 1)
+    out = jnp.take_along_axis(flat_nodes, flat_idx.reshape(B, -1, 1), axis=1)
+    return out.reshape(*idx.shape, *feat_shape) if feat_shape else out.reshape(*idx.shape)
+
+
+def gather_edges(edges: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """edges [B, L, L, C] at idx [B, L, K] -> [B, L, K, C]."""
+    return jnp.take_along_axis(edges, idx[..., None], axis=2)
