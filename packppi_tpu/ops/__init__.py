@@ -4,3 +4,9 @@ from packppi_tpu.ops.graph import (  # noqa: F401
     gather_nodes,
     masked_knn,
 )
+from packppi_tpu.ops.clash import (  # noqa: F401
+    between_residue_clash,
+    compute_residue_clash,
+    sc_violation_loss,
+    within_residue_violations,
+)

@@ -1,0 +1,171 @@
+"""Steric clash / bond-violation losses (AF2 eq. 46 family).
+
+Semantics follow the reference losses (reference:
+src/models/components/clash.py:7-365) including their quirks: backbone-
+backbone pairs ignored, lower-triangle dedup via residue_index comparison,
+C(i)-N(i+1) peptide-bond exemption, and the *global* atom-slot-5/slot-5
+exemption standing in for disulfide bridges.
+
+TPU-first memory design: the reference materializes the full
+``[L, L, 14, 14]`` distance tensor (the documented >1500-residue OOM wall;
+reference: README.md:117-119). Here the between-residue term is computed in
+**row blocks under lax.scan** — peak memory O(block * L * 196) instead of
+O(L^2 * 196) — and is differentiable through the scan, so proximal
+optimization of multi-thousand-residue complexes stays on one chip.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from packppi_tpu.chem import CHEM, make_atom14_dists_bounds
+from packppi_tpu.geometry.frames import atom14_coords_from_torsions
+
+_CYS_SG_SLOT = 5  # atom14 slot of CYS SG (exempted globally, like AF2)
+_C_SLOT, _N_SLOT = 2, 0
+
+
+def within_residue_violations(positions, atom_exists, lower, upper,
+                              tighten: float = 0.0, eps: float = 1e-10):
+    """Per-atom bound-violation loss within each residue.
+
+    Args:
+        positions: [B, L, 14, 3]; atom_exists: [B, L, 14];
+        lower/upper: [B, L, 14, 14] distance bounds.
+
+    Returns: per_atom_loss_sum [B, L, 14].
+    """
+    pair_mask = atom_exists[..., :, None] * atom_exists[..., None, :]
+    pair_mask = pair_mask * (1.0 - jnp.eye(14))
+    bb = np.zeros((14, 14), np.float32)
+    bb[:4, :4] = 1.0
+    pair_mask = pair_mask * (1.0 - bb)
+
+    d = jnp.sqrt(eps + jnp.sum(
+        (positions[..., :, None, :] - positions[..., None, :, :]) ** 2, -1))
+    err = jax.nn.relu(lower + tighten - d) + jax.nn.relu(d - (upper - tighten))
+    loss = pair_mask * err
+    return jnp.sum(loss, -2) + jnp.sum(loss, -1)
+
+
+def _pair_block_loss(pos_i, exists_i, radius_i, ridx_i,
+                     pos_j, exists_j, radius_j, ridx_j,
+                     tol_soft, eps=1e-10):
+    """Clash error for a [R x L] block of residue pairs.
+
+    Shapes: *_i are [B, R, ...] (rows), *_j are [B, L, ...] (all columns).
+    Returns (err [B,R,L,14,14], mask [B,R,L,14,14]).
+    """
+    d = jnp.sqrt(eps + jnp.sum(
+        (pos_i[:, :, None, :, None, :] - pos_j[:, None, :, None, :, :]) ** 2, -1))
+
+    mask = exists_i[:, :, None, :, None] * exists_j[:, None, :, None, :]
+    bb = np.zeros((14, 14), np.float32)
+    bb[:4, :4] = 1.0
+    mask = mask * (1.0 - bb)
+    # upper triangle only (by residue numbering, chain offsets included)
+    mask = mask * (ridx_i[:, :, None] < ridx_j[:, None, :])[..., None, None]
+
+    # peptide bond C(i)-N(j=i+1) is bonded, not a clash
+    neighbor = ((ridx_i[:, :, None] + 1) == ridx_j[:, None, :])[..., None, None]
+    cn = np.zeros((14, 14), np.float32)
+    cn[_C_SLOT, _N_SLOT] = 1.0
+    mask = mask * (1.0 - neighbor * cn)
+
+    # SG-SG pairs exempted for all residue pairs (disulfide allowance)
+    ss = np.zeros((14, 14), np.float32)
+    ss[_CYS_SG_SLOT, _CYS_SG_SLOT] = 1.0
+    mask = mask * (1.0 - ss)
+
+    low = mask * (radius_i[:, :, None, :, None] + radius_j[:, None, :, None, :])
+    err = mask * jax.nn.relu(low - tol_soft - d)
+    return err, mask
+
+
+def between_residue_clash(positions, atom_exists, atom_radius, residue_index,
+                          tol_soft: float = 1.5, block: int = 128):
+    """Between-residue clash loss, row-blocked.
+
+    Returns dict with ``per_atom_loss_sum`` [B, L, 14], ``mean_loss`` scalar.
+    """
+    B, L = positions.shape[:2]
+    nblk = -(-L // block)
+    pad = nblk * block - L
+
+    def padded(x, fill=0):
+        cfg = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    pos_p = padded(positions)
+    ex_p = padded(atom_exists)
+    rad_p = padded(atom_radius)
+    ridx_p = padded(residue_index, fill=-(10**9))  # padding never "precedes" anyone
+
+    rows = lambda x: x.reshape(B, nblk, block, *x.shape[2:]).swapaxes(0, 1)
+
+    def body(carry, blk):
+        col_acc, row_sum, err_sum, mask_sum = carry
+        pos_i, ex_i, rad_i, ridx_i = blk
+        err, mask = _pair_block_loss(pos_i, ex_i, rad_i, ridx_i,
+                                     pos_p, ex_p, rad_p, ridx_p, tol_soft)
+        col_acc = col_acc + err.sum(axis=(1, 3))       # -> [B, L, 14] (as residue j)
+        row_sum_blk = err.sum(axis=(2, 4))             # -> [B, block, 14] (as residue i)
+        err_sum = err_sum + err.sum()
+        mask_sum = mask_sum + mask.sum()
+        return (col_acc, row_sum, err_sum, mask_sum), row_sum_blk
+
+    init = (jnp.zeros((B, nblk * block, 14)), None, jnp.asarray(0.0), jnp.asarray(0.0))
+    blocks = (rows(pos_p), rows(ex_p), rows(rad_p), rows(ridx_p))
+    (col_acc, _, err_sum, mask_sum), row_blocks = jax.lax.scan(body, init, blocks)
+
+    row_acc = row_blocks.swapaxes(0, 1).reshape(B, nblk * block, 14)
+    per_atom = (row_acc + col_acc)[:, :L]
+    return {
+        "per_atom_loss_sum": per_atom,
+        "mean_loss": err_sum / (1e-6 + mask_sum),
+    }
+
+
+@functools.lru_cache(maxsize=8)
+def _bounds_cached(clash_overlap_tolerance: float, violation_tolerance_factor: float):
+    b = make_atom14_dists_bounds(clash_overlap_tolerance, violation_tolerance_factor)
+    return b["lower_bound"], b["upper_bound"]
+
+
+def sc_violation_loss(positions, atom_exists, residue_type, residue_index,
+                      violation_tolerance_factor: float = 12.0,
+                      clash_overlap_tolerance: float = 0.5,
+                      block: int = 128):
+    """Combined per-atom clash loss [B, L, 14] (between + within residues).
+    (reference: src/models/components/clash.py:257-332)"""
+    radius = jnp.asarray(CHEM.vdw_radius_atom14)[residue_type] * atom_exists
+    between = between_residue_clash(positions, atom_exists, radius, residue_index,
+                                    tol_soft=clash_overlap_tolerance, block=block)
+    lower_t, upper_t = _bounds_cached(clash_overlap_tolerance, violation_tolerance_factor)
+    lower = jnp.asarray(lower_t)[residue_type]
+    upper = jnp.asarray(upper_t)[residue_type]
+    within = within_residue_violations(positions, atom_exists, lower, upper)
+    return between["per_atom_loss_sum"] + within
+
+
+def compute_residue_clash(batch, SC_D,
+                          violation_tolerance_factor: float = 12.0,
+                          clash_overlap_tolerance: float = 0.5,
+                          block: int = 128, eps: float = 1e-10):
+    """Per-residue clash scalar [B, L]: side-chain atoms only, normalized by
+    side-chain atom count (reference: src/models/components/clash.py:335-365).
+    Differentiable in SC_D through the torsion->coordinate chain.
+    """
+    sc_atoms = jnp.asarray(batch.atom_mask).at[..., :4].set(0.0)
+    per_residue_atoms = sc_atoms.sum(-1)
+
+    coords = atom14_coords_from_torsions(batch.X, batch.residue_type, batch.BB_D, SC_D)
+    per_atom = sc_violation_loss(coords, batch.atom_mask, batch.residue_type,
+                                 batch.residue_index,
+                                 violation_tolerance_factor,
+                                 clash_overlap_tolerance, block=block)
+    per_atom = per_atom.at[..., :4].set(0.0)
+    return per_atom.sum(-1) / (eps + per_residue_atoms)

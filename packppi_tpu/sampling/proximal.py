@@ -1,0 +1,84 @@
+"""PackPPI-Prox: proximal-gradient removal of steric clashes.
+
+Minimizes ``||x - z||^2 + lambda * mean_residue_clash(x)`` over the chi
+angles of clash-heavy residues (those above the mean per-residue clash),
+with Adam, differentiating through the full torsion->frames->atom14 chain
+(reference: src/models/components/optimize.py:5-73).
+
+TPU-native: the whole 50-step Adam loop is ONE ``lax.scan`` inside jit —
+no per-step host sync — and the clash evaluation uses the row-blocked
+between-residue kernel, so >1500-residue complexes run on-chip (the
+reference documents CPU fallback above ~1500 residues).
+
+Means are computed over the residue mask, which coincides with the
+reference's plain means on unpadded single-protein batches and stays
+correct under padding.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from packppi_tpu.data.batch import ProteinBatch
+from packppi_tpu.ops.clash import compute_residue_clash
+
+
+def _masked_mean(x, mask, eps=1e-10):
+    return (x * mask).sum() / (mask.sum() + eps)
+
+
+def find_clash_mask(batch: ProteinBatch, SC_D,
+                    violation_tolerance_factor: float = 12.0,
+                    clash_overlap_tolerance: float = 0.5,
+                    block: int = 128):
+    """Residues whose clash exceeds the mean get optimized. [B, L, 4] bool."""
+    prc = compute_residue_clash(batch, SC_D, violation_tolerance_factor,
+                                clash_overlap_tolerance, block=block)
+    mean_clash = _masked_mean(prc, batch.residue_mask)
+    sel = (prc > mean_clash) & (batch.residue_mask > 0)
+    return jnp.broadcast_to(sel[..., None], (*sel.shape, 4))
+
+
+class ProximalResult(NamedTuple):
+    SC_D: jnp.ndarray        # [B, L, 4] optimized chis (non-selected kept)
+    losses: jnp.ndarray      # [num_steps + 1] objective trajectory (0 = initial)
+    clash_mask: jnp.ndarray  # [B, L, 4] which chis were optimized
+
+
+def proximal_optimize(batch: ProteinBatch, SC_D,
+                      violation_tolerance_factor: float = 12.0,
+                      clash_overlap_tolerance: float = 0.5,
+                      lamda: float = 1.0,
+                      num_steps: int = 50,
+                      lr: float = 1e-2,
+                      block: int = 128) -> ProximalResult:
+    clash_mask = find_clash_mask(batch, SC_D, violation_tolerance_factor,
+                                 clash_overlap_tolerance, block)
+    z = SC_D * clash_mask
+    rm = batch.residue_mask
+
+    def objective(x):
+        x_eff = jnp.where(clash_mask, x, SC_D)
+        prc = compute_residue_clash(batch, x_eff, violation_tolerance_factor,
+                                    clash_overlap_tolerance, block=block)
+        sc_loss = _masked_mean(((x_eff - z) ** 2).sum(-1), rm)
+        return sc_loss + lamda * _masked_mean(prc, rm)
+
+    opt = optax.adam(lr)
+    loss_grad = jax.value_and_grad(objective)
+    init_loss = objective(z)
+
+    def step(carry, _):
+        x, opt_state = carry
+        loss, g = loss_grad(x)
+        updates, opt_state = opt.update(g, opt_state, x)
+        x = optax.apply_updates(x, updates)
+        return (x, opt_state), loss
+
+    (x, _), losses = jax.lax.scan(step, (z, opt.init(z)), None, length=num_steps)
+    # losses[k] is the objective *before* step k; append the final value
+    traj = jnp.concatenate([jnp.asarray([init_loss]), losses[1:], objective(x)[None]])
+    return ProximalResult(jnp.where(clash_mask, x, SC_D), traj, clash_mask)
