@@ -1,0 +1,83 @@
+"""Headline benchmark: per-complex side-chain packing latency on T1124.
+
+Measures the full PackPPI-MSC inference pipeline on-device: 30 reverse-
+diffusion network evaluations (one lax.scan) + torsion->atom14 coordinate
+reconstruction, on the T1124 complex (739 residues) — the reference's own
+worked example (reference: README.md:84-97).
+
+``vs_baseline``: the reference publishes no timing, so the baseline is an
+ESTIMATED 3.0 s per complex for the reference pipeline on an A100-class GPU
+(30 sequential CUDA network evals, each with two host<->device numpy
+score-table syncs; see BASELINE.md). vs_baseline = estimate / measured, so
+values > 1 mean faster than the assumed reference.
+
+Prints exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+ASSUMED_REFERENCE_SECONDS = 3.0
+
+
+def _timeit(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import jax
+
+    from packppi_tpu.data import stack_batch
+    from packppi_tpu.geometry import atom14_coords_from_torsions
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.structure import from_pdb_file
+    from packppi_tpu.structure.featurize import featurize
+
+    fixture = Path(__file__).parent / "tests/fixtures/t1124.pdb"
+    feats = featurize(from_pdb_file(fixture, mse_to_met=True))
+    batch = stack_batch([feats])
+
+    model = TorsionalDiffusion.create(NetworkConfig(), SampleConfig())
+    params = model.init(jax.random.key(0), batch)
+
+    def pack(params, key, batch):
+        sc = model.sample(params, key, batch, n_steps=30)
+        coords = atom14_coords_from_torsions(batch.X, batch.residue_type, batch.BB_D, sc)
+        return coords.sum()  # scalar fetch: timing sync without bulk transfer
+
+    @jax.jit
+    def pack_repeat(params, key, batch, keys):
+        # chain R full packs inside one executable so the per-call transport
+        # latency (tens of ms through the device tunnel) amortizes away
+        def body(acc, k):
+            return acc + pack(params, k, batch), None
+        out, _ = jax.lax.scan(body, pack(params, key, batch), keys)
+        return out
+
+    R = 8
+    keys = jax.random.split(jax.random.key(42), R - 1)
+    float(pack_repeat(params, jax.random.key(1), batch, keys))  # compile + warm
+
+    # transport-latency floor of a do-nothing round trip
+    tiny = jax.jit(lambda s: s + 1.0)
+    float(tiny(jax.numpy.zeros(())))
+    floor = min(_timeit(lambda: float(tiny(jax.numpy.zeros(())))) for _ in range(5))
+
+    total = min(_timeit(lambda: float(pack_repeat(params, jax.random.key(k), batch, keys)))
+                for k in range(3))
+    value = max(total - floor, 1e-9) / R  # seconds per full 30-step pack
+
+    print(json.dumps({
+        "metric": "t1124_pack_latency",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(ASSUMED_REFERENCE_SECONDS / value, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""packppi-pack: side-chain packing inference (PackPPI-MSC).
+
+Equivalent of the reference's eval CLI (reference: src/eval_diffusion.py):
+parse a complex, run the 30-step reverse diffusion on device, optionally
+refine with the proximal clash optimizer, write the repacked structure, and
+report the chi metric suite against the input conformation.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="PackPPI-TPU side-chain packing")
+    p.add_argument("--input", required=True, help="input PDB (complex with backbone)")
+    p.add_argument("--outdir", default="packppi_out", help="output directory")
+    p.add_argument("--ckpt", default=None, help="orbax checkpoint with network params")
+    p.add_argument("--use_proximal", action="store_true", help="proximal clash refinement")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    p.add_argument("--n_steps", type=int, default=30, help="reverse-diffusion steps")
+    p.add_argument("--molprobity_loc", default=None, help="molprobity.clashscore binary")
+    p.add_argument("--exact_length", action="store_true",
+                   help="skip length bucketing (exact reference-style shapes)")
+    p.add_argument("--print_metrics", action="store_true", default=True)
+    return p
+
+
+def run(args) -> dict:
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(getattr(args, "platform", None))
+    import jax
+    import jax.numpy as jnp
+
+    from packppi_tpu.data import stack_batch
+    from packppi_tpu.geometry import atom14_coords_from_torsions
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.sampling import proximal_optimize
+    from packppi_tpu.structure import from_pdb_file, to_pdb
+    from packppi_tpu.structure.featurize import featurize
+    from packppi_tpu.train import load_params, save_params
+    from packppi_tpu.utils.analysis import ProteinAnalysis
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    prot = from_pdb_file(args.input, mse_to_met=True)
+    feats = featurize(prot)
+    target_len = len(feats["residue_type"]) if args.exact_length else None
+    batch = stack_batch([feats], target_len=target_len)
+
+    model = TorsionalDiffusion.create(NetworkConfig(), SampleConfig())
+    key = jax.random.key(args.seed)
+    if args.ckpt:
+        template = jax.eval_shape(lambda: model.init(jax.random.key(0), batch))
+        params = load_params(args.ckpt, template)
+    else:
+        print("WARNING: no --ckpt given; sampling with randomly initialized weights")
+        key, k_init = jax.random.split(key)
+        params = model.init(k_init, batch)
+
+    t0 = time.perf_counter()
+    sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=args.n_steps))
+    key, k_sample = jax.random.split(key)
+    sc_sample = sample_fn(params, k_sample, batch)
+    sc_sample.block_until_ready()
+    t_sample = time.perf_counter() - t0
+
+    t_prox = 0.0
+    if args.use_proximal:
+        t0 = time.perf_counter()
+        res = jax.jit(lambda b, sc: proximal_optimize(
+            b, sc, model.sample_cfg.violation_tolerance_factor,
+            model.sample_cfg.clash_overlap_tolerance,
+            model.sample_cfg.lamda, model.sample_cfg.num_steps))(batch, sc_sample)
+        res.losses.block_until_ready()
+        t_prox = time.perf_counter() - t0
+        if float(res.losses[-1]) < float(res.losses[0]):
+            sc_sample = res.SC_D
+        else:
+            print("proximal refinement did not reduce the objective; keeping the sample")
+
+    coords = atom14_coords_from_torsions(batch.X, batch.residue_type, batch.BB_D, sc_sample)
+    L = len(feats["residue_type"])
+    out_prot = dataclasses.replace(
+        prot,
+        atom_positions=np.asarray(coords[0, :L]),
+        atom_mask=np.asarray(batch.atom_mask[0, :L]),
+    )
+    out_pdb = outdir / "structure.pdb"
+    out_pdb.write_text(to_pdb(out_prot))
+    print(f"wrote {out_pdb}  (sampling {t_sample:.2f}s"
+          + (f", proximal {t_prox:.2f}s" if args.use_proximal else "") + ")")
+
+    analysis = ProteinAnalysis(args.molprobity_loc, tmp_dir=str(outdir / "tmp"))
+    metric = analysis.get_metric(args.input, str(out_pdb)) or {}
+    metric["sampling_seconds"] = t_sample
+    if args.use_proximal:
+        metric["proximal_seconds"] = t_prox
+    if args.print_metrics:
+        for k, v in metric.items():
+            print(f"  {k}: {v}")
+    (outdir / "metrics.json").write_text(
+        json.dumps({k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+                    for k, v in metric.items()}, indent=1))
+    return metric
+
+
+def main():
+    run(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

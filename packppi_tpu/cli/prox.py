@@ -1,0 +1,102 @@
+"""packppi-prox: standalone proximal clash optimization (PackPPI-Prox).
+
+Equivalent of the reference CLI (reference: src/proximal_optimize.py):
+takes any structure WITH side chains, optimizes the chi angles of
+clash-heavy residues, writes the relaxed structure, and reports
+clashscore before/after.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="PackPPI-TPU proximal clash optimization")
+    p.add_argument("--input", required=True, help="input PDB with side chains")
+    p.add_argument("--outdir", default="packppi_out")
+    p.add_argument("--num_steps", type=int, default=50)
+    p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    p.add_argument("--lamda", type=float, default=1.0)
+    p.add_argument("--violation_tolerance_factor", type=float, default=12.0)
+    p.add_argument("--clash_overlap_tolerance", type=float, default=0.5)
+    p.add_argument("--molprobity_loc", default=None)
+    p.add_argument("--exact_length", action="store_true")
+    return p
+
+
+def run(args) -> dict:
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(getattr(args, "platform", None))
+    import jax
+
+    from packppi_tpu.data import stack_batch
+    from packppi_tpu.geometry import atom14_coords_from_torsions
+    from packppi_tpu.sampling import proximal_optimize
+    from packppi_tpu.structure import from_pdb_file, to_pdb
+    from packppi_tpu.structure.featurize import featurize
+    from packppi_tpu.utils.analysis import ProteinAnalysis
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    analysis = ProteinAnalysis(args.molprobity_loc, tmp_dir=str(outdir / "tmp"))
+
+    prot = from_pdb_file(args.input, mse_to_met=True)
+    feats = featurize(prot)
+    if feats["SC_D_mask"].sum() == 0:
+        raise SystemExit("input structure has no side-chain chi angles to optimize")
+    target_len = len(feats["residue_type"]) if args.exact_length else None
+    batch = stack_batch([feats], target_len=target_len)
+
+    clash_before = analysis.get_clashscore(args.input)
+    print(f"clashscore before: {clash_before}")
+
+    t0 = time.perf_counter()
+    res = jax.jit(lambda b, sc: proximal_optimize(
+        b, sc, args.violation_tolerance_factor, args.clash_overlap_tolerance,
+        args.lamda, args.num_steps))(batch, batch.SC_D)
+    res.losses.block_until_ready()
+    t_opt = time.perf_counter() - t0
+
+    accepted = float(res.losses[-1]) < float(res.losses[0])
+    sc_final = res.SC_D if accepted else batch.SC_D
+    if not accepted:
+        print("objective did not decrease; keeping input conformation")
+
+    coords = atom14_coords_from_torsions(batch.X, batch.residue_type, batch.BB_D, sc_final)
+    L = len(feats["residue_type"])
+    out_prot = dataclasses.replace(
+        prot,
+        atom_positions=np.asarray(coords[0, :L]),
+        atom_mask=np.asarray(batch.atom_mask[0, :L]),
+    )
+    out_pdb = outdir / "structure.pdb"
+    out_pdb.write_text(to_pdb(out_prot))
+
+    clash_after = analysis.get_clashscore(str(out_pdb))
+    print(f"clashscore after: {clash_after}  ({t_opt:.2f}s, "
+          f"objective {float(res.losses[0]):.4f} -> {float(res.losses[-1]):.4f})")
+
+    result = {
+        "clashscore_before": clash_before,
+        "clashscore_after": clash_after,
+        "accepted": accepted,
+        "optimize_seconds": t_opt,
+        "objective_initial": float(res.losses[0]),
+        "objective_final": float(res.losses[-1]),
+    }
+    (outdir / "metrics.json").write_text(json.dumps(result, indent=1))
+    return result
+
+
+def main():
+    run(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

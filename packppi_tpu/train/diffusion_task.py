@@ -1,0 +1,59 @@
+"""Diffusion training step: pure, jitted, mesh-shardable.
+
+One ``train_step(state, key, batch) -> (state, loss)`` compiled once per
+batch shape bucket. Under a (data, model) mesh the batch shards over 'data'
+(XLA inserts the gradient all-reduce over ICI) and large kernels shard over
+'model'. NaN/inf losses skip the update on-device (the reference skips such
+batches in Python; reference: src/models/TorsionalDiffusion.py:173-177) —
+there is no OOM-skip because static bucketed shapes cannot OOM at runtime.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from packppi_tpu.data.batch import ProteinBatch
+from packppi_tpu.models.torsional_diffusion import TorsionalDiffusion
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-12) -> optax.GradientTransformation:
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+def init_state(model: TorsionalDiffusion, key, batch: ProteinBatch,
+               optimizer: optax.GradientTransformation) -> TrainState:
+    params = model.init(key, batch)
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model: TorsionalDiffusion, optimizer: optax.GradientTransformation):
+    def train_step(state: TrainState, key, batch: ProteinBatch):
+        loss, grads = jax.value_and_grad(model.loss)(state.params, key, batch)
+        ok = jnp.isfinite(loss)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # skip the whole update when the loss is invalid
+        params = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                              params, state.params)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape") else new,
+            opt_state, state.opt_state)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_eval_step(model: TorsionalDiffusion):
+    def eval_step(params, key, batch: ProteinBatch):
+        return model.loss(params, key, batch)
+    return eval_step
