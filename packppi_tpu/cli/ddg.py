@@ -1,0 +1,78 @@
+"""packppi-ddg: mutation binding-affinity change (ddG) inference (PackPPI-AP).
+
+Equivalent of the reference CLI (reference: src/eval_affinity.py): parse a
+complex, apply the mutation string (e.g. 'KI15G' or 'KA25A,DD35A'), run the
+frozen-backbone affinity model, print predicted ddG in kcal/mol.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="PackPPI-TPU ddG prediction")
+    p.add_argument("--input", required=True, help="wild-type complex PDB")
+    p.add_argument("--mutstr", required=True,
+                   help="comma-separated mutations, e.g. KI15G or KA25A,DD35A")
+    p.add_argument("--ckpt", default=None, help="affinity-net checkpoint")
+    p.add_argument("--pre_ckpt", default=None, help="pretrained diffusion checkpoint")
+    p.add_argument("--mode", default="network", choices=["network", "linear"])
+    p.add_argument("--outdir", default="packppi_out")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    return p
+
+
+def run(args) -> float:
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(args.platform)
+    import jax
+
+    from packppi_tpu.data.skempi import parse_mutation, skempi_features, stack_affinity_batch
+    from packppi_tpu.models import NetworkConfig
+    from packppi_tpu.models.affinity import AffinityModel
+    from packppi_tpu.structure import from_pdb_file
+    from packppi_tpu.train import load_params
+
+    prot = from_pdb_file(args.input, mse_to_met=True)
+    mutations = [parse_mutation(m.strip()) for m in args.mutstr.split(",")]
+    feats = skempi_features(prot, mutations)
+    batch = stack_affinity_batch([feats])
+
+    model = AffinityModel.create(NetworkConfig(), mode=args.mode)
+    key = jax.random.key(args.seed)
+    k_bb, k_net = jax.random.split(key)
+
+    if args.pre_ckpt:
+        template = jax.eval_shape(lambda: model.backbone.init(jax.random.key(0), batch.wild()))
+        backbone_params = load_params(args.pre_ckpt, template)
+    else:
+        print("WARNING: no --pre_ckpt; using randomly initialized diffusion backbone")
+        backbone_params = model.backbone.init(k_bb, batch.wild())
+
+    if args.ckpt:
+        template = jax.eval_shape(lambda: model.init(jax.random.key(0), batch, backbone_params))
+        params = load_params(args.ckpt, template)
+    else:
+        print("WARNING: no --ckpt; using randomly initialized affinity net")
+        params = model.init(k_net, batch, backbone_params)
+
+    ddg, _ = jax.jit(lambda p, bp, b: model.predict(p, bp, b))(params, backbone_params, batch)
+    value = float(ddg[0])
+    print(f"Predicted ddG (kcal/mol): {value:.4f}")
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    (outdir / "ddg.json").write_text(json.dumps(
+        {"input": args.input, "mutstr": args.mutstr, "ddg_pred": value}))
+    return value
+
+
+def main():
+    run(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

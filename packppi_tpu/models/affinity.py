@@ -1,0 +1,152 @@
+"""PackPPI-AP: binding-affinity change (ddG) prediction on mutations.
+
+Architecture mirrors the reference (reference:
+src/models/AffinityPrediction.py:20-194): a *frozen* pretrained diffusion
+backbone supplies geometric features at t=0; a separate mutation encoder +
+IPMP stack runs on a mutation-local subgraph (residues with CA within 10 A
+of any mutation); per-residue fusion of [pretrained || mutation || sequence]
+features plus a learned mutation-flag bias; the ddG head max-pools the
+(mutant - wild) difference. Training uses the antisymmetric loss
+(f(wt, mt) ~ ddG and f(mt, wt) ~ -ddG).
+
+Three modes: 'network' (full), 'linear' (frozen backbone + head only),
+'esm' (precomputed ESM-2 embeddings + head).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from packppi_tpu.data.batch import ProteinBatch
+from packppi_tpu.data.skempi import AffinityBatch
+from packppi_tpu.models.diffusion_net import NetworkConfig
+from packppi_tpu.models.encoder import ProteinEncoder
+from packppi_tpu.models.ipmp import MessagePassingStack
+from packppi_tpu.models.layers import Dense
+from packppi_tpu.models.torsional_diffusion import TorsionalDiffusion
+
+
+def local_subgraph_mask(X_ca: jnp.ndarray, mut_mask: jnp.ndarray,
+                        radius: float = 10.0) -> jnp.ndarray:
+    """Residues whose CA is within ``radius`` of any mutated residue's CA
+    (reference: src/models/AffinityPrediction.py:124-145)."""
+    d = jnp.sqrt(jnp.sum(
+        (X_ca[:, :, None, :] - X_ca[:, None, :, :]) ** 2, -1) + 1e-12)
+    near = (d < radius) & (mut_mask[:, None, :] > 0)
+    return near.any(-1).astype(jnp.float32)
+
+
+class DdgHead(nn.Module):
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h):
+        h = nn.relu(Dense(self.hidden_dim)(h))
+        h = nn.relu(Dense(self.hidden_dim)(h))
+        return Dense(1)(h)
+
+
+class AffinityNet(nn.Module):
+    """Trainable part of PackPPI-AP (the diffusion backbone stays outside,
+    frozen). ``h_pret`` inputs are the frozen backbone's per-residue
+    features (or ESM embeddings in 'esm' mode)."""
+
+    cfg: NetworkConfig = NetworkConfig()
+    mode: str = "network"  # network | linear | esm
+
+    @nn.compact
+    def __call__(self, wild: Optional[ProteinBatch], mut: Optional[ProteinBatch],
+                 h_pret_wt, h_pret_mt, mut_mask, deterministic: bool = True):
+        c = self.cfg
+        if self.mode == "network":
+            # shared trainable submodules, applied to both variants
+            encoder = ProteinEncoder(
+                node_features=c.node_features, edge_features=c.edge_features,
+                time_embedding_dim=0,  # mutation encoder has no time channel
+                num_rbf=c.num_rbf, top_k=c.top_k, name="mutation_encoder")
+            seq_embed = nn.Embed(21, c.hidden_dim, name="seq_embedding")
+            mut_bias = nn.Embed(2, c.hidden_dim, name="mut_bias")
+            fuse1, fuse2 = Dense(c.hidden_dim), Dense(c.hidden_dim)
+            stack = MessagePassingStack(
+                hidden_dim=c.hidden_dim, num_layers=c.num_mpnn_layers,
+                n_points=c.n_points, dropout=c.dropout, act=c.act,
+                position_scale=c.position_scale, use_ipmp=c.use_ipmp,
+                k_neighbors=c.k_neighbors, name="mutation_mpnn")
+
+            local = local_subgraph_mask(wild.X[:, :, 1, :], mut_mask)
+            mut_flag = jnp.clip(mut_mask.astype(jnp.int32), 0, 1)
+            bias = mut_bias(mut_flag) * (mut_flag > 0)[..., None]  # padding_idx-0
+
+            def encode(batch, h_pret):
+                sc_sincos = batch.SC_D_sincos * batch.SC_D_mask[..., None]
+                h_mut, h_E, idx = encoder(
+                    batch.X, batch.residue_type, batch.BB_D_sincos, sc_sincos,
+                    batch.chain_indices, local, batch.residue_index, None)
+                seq = seq_embed(batch.residue_type)
+                h = fuse2(nn.relu(fuse1(jnp.concatenate([h_pret, h_mut, seq], -1))))
+                return stack(h + bias, h_E, idx, batch.X, local, deterministic)
+
+            h_wt = encode(wild, h_pret_wt)
+            h_mt = encode(mut, h_pret_mt)
+        else:  # linear / esm: pooled head over the provided features
+            h_wt, h_mt = h_pret_wt, h_pret_mt
+
+        head = DdgHead(h_wt.shape[-1] if self.mode == "esm" else c.hidden_dim)
+        ddg = head(jnp.max(h_mt - h_wt, axis=1)).squeeze(-1)
+        ddg_inv = head(jnp.max(h_wt - h_mt, axis=1)).squeeze(-1)
+        return ddg, ddg_inv
+
+
+@dataclasses.dataclass(frozen=True)
+class AffinityModel:
+    """Bundle: frozen diffusion backbone + trainable affinity net."""
+
+    backbone: TorsionalDiffusion
+    net: AffinityNet
+    mode: str = "network"
+
+    @staticmethod
+    def create(cfg: NetworkConfig = NetworkConfig(), mode: str = "network") -> "AffinityModel":
+        from packppi_tpu.models.torsional_diffusion import SampleConfig
+        return AffinityModel(
+            backbone=TorsionalDiffusion.create(cfg, SampleConfig()),
+            net=AffinityNet(cfg, mode),
+            mode=mode,
+        )
+
+    def _pret(self, backbone_params, batch: ProteinBatch):
+        """Frozen per-residue geometric features at t=0."""
+        t = jnp.zeros(batch.residue_mask.shape)
+        _, h_V = self.backbone.apply(backbone_params, batch, batch.SC_D, t)
+        return jax.lax.stop_gradient(h_V)
+
+    def init(self, key, batch: AffinityBatch, backbone_params=None):
+        wild, mut = batch.wild(), batch.mutant()
+        if self.mode == "esm":
+            h_wt = h_mt = jnp.zeros((*wild.residue_mask.shape, 1280))
+            return self.net.init(key, None, None, h_wt, h_mt, jnp.asarray(batch.mut_mask))
+        h_wt = self._pret(backbone_params, wild)
+        h_mt = self._pret(backbone_params, mut)
+        return self.net.init(key, wild, mut, h_wt, h_mt, jnp.asarray(batch.mut_mask))
+
+    def predict(self, params, backbone_params, batch: AffinityBatch,
+                deterministic: bool = True, rngs=None):
+        wild, mut = batch.wild(), batch.mutant()
+        h_wt = self._pret(backbone_params, wild)
+        h_mt = self._pret(backbone_params, mut)
+        return self.net.apply(params, wild, mut, h_wt, h_mt,
+                              jnp.asarray(batch.mut_mask), deterministic, rngs=rngs)
+
+    def predict_esm(self, params, esm_wt, esm_mt, deterministic: bool = True):
+        return self.net.apply(params, None, None, esm_wt, esm_mt, None, deterministic)
+
+    def loss(self, params, backbone_params, key, batch: AffinityBatch):
+        """Antisymmetric MSE (reference: src/models/AffinityPrediction.py:189-194)."""
+        ddg, ddg_inv = self.predict(params, backbone_params, batch,
+                                    deterministic=False, rngs={"dropout": key})
+        y = jnp.asarray(batch.ddg)
+        return 0.5 * (jnp.mean((ddg - y) ** 2) + jnp.mean((ddg_inv + y) ** 2))

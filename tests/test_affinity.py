@@ -1,0 +1,98 @@
+"""PackPPI-AP tests: mutation application, twin schema, model forward/loss."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from packppi_tpu.data.skempi import (
+    AffinityBatch,
+    apply_mutations,
+    cv_split,
+    parse_mutation,
+    skempi_features,
+    stack_affinity_batch,
+)
+from packppi_tpu.models import NetworkConfig
+from packppi_tpu.models.affinity import AffinityModel, local_subgraph_mask
+from packppi_tpu.structure import from_pdb_file
+
+from conftest import FIXTURES
+
+
+@pytest.fixture(scope="module")
+def brs():
+    return from_pdb_file(os.path.join(FIXTURES, "1brs.pdb"), mse_to_met=True)
+
+
+def test_parse_mutation():
+    m = parse_mutation("KA25A")
+    assert m == {"wt": "K", "chain": "A", "resseq": 25, "mt": "A",
+                 "icode": " ", "name": "KA25A"}
+
+
+def test_apply_mutations_valid(brs):
+    muts = [parse_mutation("KA25A"), parse_mutation("DD35A")]
+    rt_mut, am_mut = apply_mutations(brs, muts)
+    chains = np.asarray(brs.chain_id)
+    selA = (chains == "A") & (brs.residue_index == 25)
+    selD = (chains == "D") & (brs.residue_index == 35)
+    assert rt_mut[selA][0] == 0  # ALA
+    assert rt_mut[selD][0] == 0
+    # ALA atom mask: 5 atoms
+    assert am_mut[selA][0].sum() == 5
+    # everything else untouched
+    other = ~(selA | selD)
+    np.testing.assert_array_equal(rt_mut[other], brs.aaindex[other])
+
+
+def test_apply_mutations_wrong_wt_raises(brs):
+    with pytest.raises(ValueError, match="inconsistent"):
+        apply_mutations(brs, [parse_mutation("GA25A")])
+
+
+def test_skempi_features_twins(brs):
+    feats = skempi_features(brs, [parse_mutation("KA25A")], ddg=1.5)
+    assert feats["mut_mask"].sum() == 1
+    sel = feats["mut_mask"].astype(bool)
+    assert (feats["SC_D_mut"][sel] == 0).all()
+    assert feats["residue_type_mut"][sel][0] == 0
+    assert float(feats["ddg"]) == 1.5
+
+    batch = stack_affinity_batch([feats])
+    assert isinstance(batch, AffinityBatch)
+    wild, mut = batch.wild(), batch.mutant()
+    assert (np.asarray(wild.residue_type) != np.asarray(mut.residue_type)).sum() == 1
+
+
+def test_cv_split_groups_complexes():
+    entries = [{"complex": f"C{i % 5}", "id": i} for i in range(20)]
+    s = cv_split(entries, num_folds=3, fold_index=0, seed=42)
+    train_cplx = {e["complex"] for e in s["train"]}
+    val_cplx = {e["complex"] for e in s["valid"]}
+    assert train_cplx.isdisjoint(val_cplx)
+    assert len(s["train"]) + len(s["valid"]) == 20
+
+
+def test_local_subgraph_mask():
+    X_ca = jnp.zeros((1, 5, 3)).at[0, 4].set(jnp.asarray([100.0, 0, 0]))
+    mut = jnp.zeros((1, 5)).at[0, 0].set(1)
+    m = np.asarray(local_subgraph_mask(X_ca, mut))
+    assert m[0, :4].all() and m[0, 4] == 0
+
+
+@pytest.mark.parametrize("mode", ["network", "linear"])
+def test_affinity_forward_and_loss(brs, mode):
+    feats = skempi_features(brs, [parse_mutation("KA25A"), parse_mutation("DD35A")], ddg=4.85)
+    batch = stack_affinity_batch([feats])
+    model = AffinityModel.create(NetworkConfig(), mode=mode)
+    kb, kn, kd = jax.random.split(jax.random.key(0), 3)
+    backbone_params = model.backbone.init(kb, batch.wild())
+    params = model.init(kn, batch, backbone_params)
+
+    ddg, ddg_inv = model.predict(params, backbone_params, batch)
+    assert ddg.shape == (1,) and np.isfinite(float(ddg[0]))
+
+    loss = model.loss(params, backbone_params, kd, batch)
+    assert np.isfinite(float(loss)) and float(loss) > 0
