@@ -1,0 +1,88 @@
+"""Complex pre-training dataset: PDB directory scan, split, feature cache.
+
+Host-side pipeline (reference: src/datamodules/complex_datamodule.py:17-120,
+src/datamodules/components/complex_dataset.py:9-62): scans a directory of
+complex PDBs, filters by residue count, splits train/val/test with a seeded
+shuffle persisted to disk, and caches each protein's canonical feature dict
+as compressed npz (parse+featurize runs once per structure ever).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from packppi_tpu.structure.featurize import featurize
+from packppi_tpu.structure.protein import from_pdb_file
+
+
+def scan_complex_dir(path: str, suffix: str = "_rc",
+                     len_region: Sequence[int] = (10, 3000)) -> list[str]:
+    """PDB codes in ``path`` whose files look like ``<code><suffix>.pdb``."""
+    out = []
+    for f in sorted(Path(path).glob(f"*{suffix}.pdb")):
+        out.append(f.name[: -len(suffix) - 4] if suffix else f.stem)
+    return out
+
+
+def split_entries(entries: list[str], fractions: Sequence[float] = (0.8, 0.1, 0.1),
+                  seed: int = 42, split_file: Optional[str] = None) -> dict[str, list[str]]:
+    """Seeded random train/val/test split, persisted as JSON for stability
+    across runs (the reference pickles the same structure)."""
+    if split_file and Path(split_file).exists():
+        return json.loads(Path(split_file).read_text())
+    rng = np.random.default_rng(seed)
+    order = list(entries)
+    rng.shuffle(order)
+    n = len(order)
+    n_train = int(fractions[0] * n)
+    n_val = int(fractions[1] * n)
+    splits = {
+        "train": order[:n_train],
+        "val": order[n_train:n_train + n_val],
+        "test": order[n_train + n_val:],
+    }
+    if split_file:
+        Path(split_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(split_file).write_text(json.dumps(splits))
+    return splits
+
+
+class ComplexDataset:
+    """Lazily featurized, npz-cached protein complexes."""
+
+    def __init__(self, pdb_dir: str, entries: list[str], cache_dir: Optional[str] = None,
+                 suffix: str = "_rc", len_region: Sequence[int] = (10, 3000)):
+        self.pdb_dir = Path(pdb_dir)
+        self.entries = list(entries)
+        self.cache_dir = Path(cache_dir) if cache_dir else None
+        self.suffix = suffix
+        self.len_region = tuple(len_region)
+        if self.cache_dir:
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def pdb_path(self, code: str) -> Path:
+        return self.pdb_dir / f"{code}{self.suffix}.pdb"
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        code = self.entries[idx]
+        cache = self.cache_dir / f"{code}.npz" if self.cache_dir else None
+        if cache and cache.exists():
+            with np.load(cache) as z:
+                return dict(z)
+        feats = featurize(from_pdb_file(self.pdb_path(code), mse_to_met=True))
+        L = len(feats["residue_type"])
+        if not (self.len_region[0] <= L <= self.len_region[1]):
+            raise ValueError(f"{code}: {L} residues outside {self.len_region}")
+        if cache:
+            np.savez_compressed(cache, **feats)
+        return feats
+
+    def lengths(self) -> list[int]:
+        """Residue counts (parses/caches on first call) for bucketing."""
+        return [len(self[i]["residue_type"]) for i in range(len(self))]

@@ -21,9 +21,11 @@ def wrap_angle(x: jnp.ndarray) -> jnp.ndarray:
     return (x + jnp.pi) % TWO_PI - jnp.pi
 
 
-def _safe_normalize(v: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return jnp.nan_to_num(v / n)
+def _safe_normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-20) -> jnp.ndarray:
+    # zero vectors normalize to zero WITHOUT producing intermediate NaNs,
+    # so the deliberate degenerate cases stay compatible with jax_debug_nans
+    n = jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=True))
+    return jnp.where(n > eps, v, 0.0) / jnp.maximum(n, eps)
 
 
 def dihedrals_along_chain(points: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:

@@ -1,0 +1,292 @@
+"""Training loops for both task families (L9).
+
+Functional replacement for the reference's Lightning harness (reference:
+src/train_diffusion.py:19-106, src/train_affinity.py): seeded PRNG
+threading, bucketed loaders, a single pjit-compiled train step per shape
+bucket, per-epoch validation, top-k + last checkpointing with resume, and
+periodic sampling evaluation. Distribution is SPMD over a (data, model)
+mesh — no process-per-device orchestration.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from packppi_tpu.train.checkpoints import load_params, save_params
+from packppi_tpu.train.diffusion_task import TrainState, init_state, make_train_step
+from packppi_tpu.utils.logging import MetricLogger, get_logger
+
+log = get_logger(__name__)
+
+
+class CheckpointManager:
+    """top-k-by-metric + always-last retention over orbax saves."""
+
+    def __init__(self, directory: str, top_k: int = 3, mode: str = "min"):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.top_k = top_k
+        self.mode = mode
+        self.index_file = self.dir / "index.json"
+        self.index = json.loads(self.index_file.read_text()) if self.index_file.exists() else {}
+
+    def save(self, step: int, state, metric: Optional[float] = None) -> None:
+        name = f"step_{step:08d}"
+        save_params(self.dir / name, state)
+        self.index[name] = {"step": step, "metric": metric}
+        self._prune()
+        self.index_file.write_text(json.dumps(self.index))
+
+    def _prune(self):
+        scored = [(n, m["metric"]) for n, m in self.index.items() if m["metric"] is not None]
+        scored.sort(key=lambda x: x[1], reverse=(self.mode == "max"))
+        keep = {n for n, _ in scored[: self.top_k]}
+        last = max(self.index, key=lambda n: self.index[n]["step"])
+        keep.add(last)
+        for name in list(self.index):
+            if name not in keep:
+                shutil.rmtree(self.dir / name, ignore_errors=True)
+                del self.index[name]
+
+    def latest(self) -> Optional[str]:
+        if not self.index:
+            return None
+        return str(self.dir / max(self.index, key=lambda n: self.index[n]["step"]))
+
+    def best(self) -> Optional[str]:
+        scored = [(n, m["metric"]) for n, m in self.index.items() if m["metric"] is not None]
+        if not scored:
+            return self.latest()
+        scored.sort(key=lambda x: x[1], reverse=(self.mode == "max"))
+        return str(self.dir / scored[0][0])
+
+
+def _setup_runtime(trainer_cfg) -> None:
+    if trainer_cfg.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+
+
+def train_diffusion(cfg) -> dict:
+    """PackPPI-MSC training from a composed config (see configs/train_diffusion.yaml)."""
+    from packppi_tpu.data.complex import ComplexDataset, scan_complex_dir, split_entries
+    from packppi_tpu.data.loader import BucketedLoader
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.utils.metrics import chi_metrics
+
+    _setup_runtime(cfg.trainer)
+    out = Path(cfg.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    metrics_log = MetricLogger(out / "logs")
+    (out / "config.json").write_text(json.dumps(cfg.to_dict(), indent=1, default=str))
+
+    # ---- data ---------------------------------------------------------------
+    codes = scan_complex_dir(cfg.data.data_dir, cfg.data.pdb_suffix, cfg.data.len_region)
+    if not codes:
+        raise SystemExit(f"no PDBs matching *{cfg.data.pdb_suffix}.pdb in {cfg.data.data_dir}")
+    splits = split_entries(codes, cfg.data.split_fractions, cfg.data.split_seed,
+                           split_file=str(out / "split.json"))
+    cache = Path(cfg.data.data_dir) / cfg.data.cache_dir
+    ds = {k: ComplexDataset(cfg.data.data_dir, v, cache_dir=str(cache),
+                            suffix=cfg.data.pdb_suffix, len_region=cfg.data.len_region)
+          for k, v in splits.items()}
+
+    n_devices = cfg.trainer.n_devices or jax.device_count()
+    global_batch = cfg.data.batch_size * max(1, n_devices // cfg.trainer.model_parallel)
+    loaders = {
+        "train": BucketedLoader(ds["train"], global_batch, shuffle=True, seed=cfg.seed, drop_last=True),
+        "val": BucketedLoader(ds["val"], global_batch, shuffle=False, drop_last=False, prefetch=0),
+    }
+    log.info(f"data: {len(ds['train'])} train / {len(ds['val'])} val / {len(ds['test'])} test complexes")
+
+    # ---- model / optimizer --------------------------------------------------
+    net_cfg = NetworkConfig(**{k: cfg.model[k] for k in NetworkConfig.__dataclass_fields__
+                               if k in cfg.model})
+    sample_cfg = SampleConfig(
+        annealed_temp=cfg.sample.annealed_temp, mode=cfg.sample.mode,
+        violation_tolerance_factor=cfg.sample.violation_tolerance_factor,
+        clash_overlap_tolerance=cfg.sample.clash_overlap_tolerance,
+        lamda=cfg.sample.lamda, num_steps=cfg.sample.num_steps)
+    model = TorsionalDiffusion.create(net_cfg, sample_cfg)
+
+    optimizer = optax.adamw(cfg.trainer.lr, weight_decay=cfg.trainer.weight_decay)
+    if cfg.trainer.grad_accum_steps > 1:
+        optimizer = optax.MultiSteps(optimizer, cfg.trainer.grad_accum_steps)
+
+    key = jax.random.key(cfg.seed)
+    key, k_init = jax.random.split(key)
+    init_batch = next(iter(loaders["val"])) if len(ds["val"]) else next(iter(loaders["train"]))
+    state = init_state(model, k_init, init_batch, optimizer)
+
+    ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
+    start_epoch = 0
+    resume = cfg.get("ckpt_path") or ckpt_mgr.latest()
+    if resume:
+        log.info(f"resuming from {resume}")
+        state = load_params(resume, jax.eval_shape(lambda: state))
+        start_epoch = int(state.step) // max(1, len(loaders["train"]))
+
+    train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
+    eval_loss = jax.jit(model.loss)
+    sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=cfg.sample.n_diffusion_steps))
+
+    # ---- epochs -------------------------------------------------------------
+    best_val = float("inf")
+    for epoch in range(start_epoch, cfg.trainer.max_epochs):
+        losses = []
+        for batch in loaders["train"]:
+            key, k_step = jax.random.split(key)
+            state, loss = train_step(state, k_step, batch)
+            losses.append(loss)
+            if len(losses) % cfg.trainer.log_every_steps == 0:
+                metrics_log.log(int(state.step), {"train/loss": float(jnp.stack(losses[-cfg.trainer.log_every_steps:]).mean())})
+        train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
+
+        val_loss = float("nan")
+        if (epoch + 1) % cfg.trainer.val_every_epochs == 0 and len(ds["val"]):
+            vlosses = []
+            for batch in loaders["val"]:
+                key, k_v = jax.random.split(key)
+                vlosses.append(eval_loss(state.params, k_v, batch))
+            val_loss = float(jnp.stack(vlosses).mean())
+            best_val = min(best_val, val_loss)
+            metrics_log.log(int(state.step), {"val/loss": val_loss, "train/loss_epoch": train_loss})
+
+            if cfg.sample.sample_during_training and (epoch + 1) % cfg.sample.eval_epochs == 0:
+                batch = next(iter(loaders["val"]))
+                key, k_s = jax.random.split(key)
+                sc = sample_fn(state.params, k_s, batch)
+                m = chi_metrics(batch.SC_D, np.asarray(sc), batch.SC_D_mask,
+                                batch.chi_1pi_periodic_mask)
+                metrics_log.log(int(state.step), m, prefix="val/")
+
+        log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
+        ckpt_mgr.save(int(state.step), state, metric=val_loss if np.isfinite(val_loss) else None)
+
+    metrics_log.close()
+    return {"best_val_loss": best_val, "best_ckpt": ckpt_mgr.best(), "last_ckpt": ckpt_mgr.latest()}
+
+
+def train_affinity(cfg) -> dict:
+    """PackPPI-AP training (frozen diffusion backbone) from a composed config."""
+    from packppi_tpu.data.loader import BucketedLoader
+    from packppi_tpu.data.skempi import (cv_split, load_skempi_entries, skempi_features,
+                                         stack_affinity_batch)
+    from packppi_tpu.models import NetworkConfig
+    from packppi_tpu.models.affinity import AffinityModel
+    from packppi_tpu.structure import from_pdb_file
+
+    _setup_runtime(cfg.trainer)
+    out = Path(cfg.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    metrics_log = MetricLogger(out / "logs")
+
+    entries = load_skempi_entries(cfg.data.data_dir, cfg.data.pdb_dirname,
+                                  cfg.data.meta_filename, list(cfg.data.block_list))
+    if not entries:
+        raise SystemExit(f"no usable SKEMPI entries under {cfg.data.data_dir}")
+    splits = cv_split(entries, cfg.data.num_cvfolds, cfg.data.cvfold_index, cfg.data.split_seed)
+    log.info(f"skempi: {len(splits['train'])} train / {len(splits['valid'])} val mutations")
+
+    cache_dir = Path(cfg.data.data_dir) / cfg.data.cache_dir
+    cache_dir.mkdir(parents=True, exist_ok=True)
+
+    class SkempiDataset:
+        def __init__(self, entries):
+            self.entries = entries
+
+        def __len__(self):
+            return len(self.entries)
+
+        def __getitem__(self, i):
+            e = self.entries[i]
+            cache = cache_dir / f"{e['pdb_id']}_{e['id']}.npz"
+            if cache.exists():
+                with np.load(cache) as z:
+                    return dict(z)
+            feats = skempi_features(from_pdb_file(e["pdb_path"], mse_to_met=True),
+                                    e["mutations"], ddg=e["ddG"])
+            np.savez_compressed(cache, **feats)
+            return feats
+
+    loaders = {
+        "train": BucketedLoader(SkempiDataset(splits["train"]), cfg.data.batch_size,
+                                shuffle=True, seed=cfg.seed, drop_last=True,
+                                stack_fn=stack_affinity_batch),
+        "val": BucketedLoader(SkempiDataset(splits["valid"]), cfg.data.batch_size,
+                              shuffle=False, drop_last=False, prefetch=0,
+                              stack_fn=stack_affinity_batch),
+    }
+
+    net_cfg = NetworkConfig(**{k: cfg.model[k] for k in NetworkConfig.__dataclass_fields__
+                               if k in cfg.model})
+    model = AffinityModel.create(net_cfg, mode=cfg.model.mode)
+
+    key = jax.random.key(cfg.seed)
+    key, kb, kn = jax.random.split(key, 3)
+    init_batch = next(iter(loaders["train"]))
+    if cfg.get("pre_checkpoint_path"):
+        template = jax.eval_shape(lambda: model.backbone.init(jax.random.key(0), init_batch.wild()))
+        backbone_params = load_params(cfg.pre_checkpoint_path, template)
+        # training checkpoints store the full TrainState; unwrap when needed
+        if isinstance(backbone_params, dict) and "params" in backbone_params and "step" in backbone_params:
+            backbone_params = backbone_params["params"]
+    else:
+        log.warning("no pre_checkpoint_path: affinity training on a random backbone")
+        backbone_params = model.backbone.init(kb, init_batch.wild())
+
+    params = model.init(kn, init_batch, backbone_params)
+    optimizer = optax.adamw(cfg.trainer.lr, weight_decay=cfg.trainer.weight_decay)
+    opt_state = optimizer.init(params)
+    step = 0
+
+    @jax.jit
+    def train_step(params, opt_state, key, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.loss(p, backbone_params, key, batch))(params)
+        ok = jnp.isfinite(loss)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    eval_step = jax.jit(lambda p, k, b: model.loss(p, backbone_params, k, b))
+    predict = jax.jit(lambda p, b: model.predict(p, backbone_params, b)[0])
+
+    ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
+    best_val = float("inf")
+    for epoch in range(cfg.trainer.max_epochs):
+        losses = []
+        for batch in loaders["train"]:
+            key, k = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, k, batch)
+            losses.append(loss)
+            step += 1
+        train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
+
+        vlosses, preds, labels = [], [], []
+        for batch in loaders["val"]:
+            key, k = jax.random.split(key)
+            vlosses.append(eval_step(params, k, batch))
+            preds.append(np.asarray(predict(params, batch)))
+            labels.append(np.asarray(batch.ddg))
+        val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
+        best_val = min(best_val, val_loss)
+
+        extras = {}
+        if preds:
+            p, y = np.concatenate(preds), np.concatenate(labels)
+            if len(p) > 2 and p.std() > 0 and y.std() > 0:
+                extras["val/pearson"] = float(np.corrcoef(p, y)[0, 1])
+            extras["val/rmse"] = float(np.sqrt(np.mean((p - y) ** 2)))
+        metrics_log.log(step, {"train/loss": train_loss, "val/loss": val_loss, **extras})
+        log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} {extras}")
+        ckpt_mgr.save(step, params, metric=val_loss if np.isfinite(val_loss) else None)
+
+    metrics_log.close()
+    return {"best_val_loss": best_val, "best_ckpt": ckpt_mgr.best()}

@@ -1,0 +1,115 @@
+"""Lightweight YAML config system (L11).
+
+Functional replacement for the reference's Hydra tree (reference: configs/):
+nested YAML files with
+
+* ``defaults``: a mapping of section -> group file, composed from
+  ``<config_dir>/<section>/<name>.yaml`` (the reference's config groups);
+* dotlist overrides (``trainer.max_epochs=10`` / ``model=small`` to swap a
+  whole group);
+* ``${section.key}`` interpolation resolved after composition.
+
+Configs resolve to nested :class:`Config` namespaces with attribute access.
+"""
+from __future__ import annotations
+
+import copy
+import re
+from pathlib import Path
+from typing import Any, Optional
+
+import yaml
+
+
+class Config(dict):
+    """dict with attribute access, recursively."""
+
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+        return v
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    @staticmethod
+    def wrap(obj):
+        if isinstance(obj, dict):
+            return Config({k: Config.wrap(v) for k, v in obj.items()})
+        if isinstance(obj, list):
+            return [Config.wrap(v) for v in obj]
+        return obj
+
+    def to_dict(self):
+        return {k: (v.to_dict() if isinstance(v, Config) else v) for k, v in self.items()}
+
+
+def _deep_merge(base: dict, extra: dict) -> dict:
+    out = copy.deepcopy(base)
+    for k, v in (extra or {}).items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def _parse_value(s: str) -> Any:
+    return yaml.safe_load(s)
+
+
+_INTERP = re.compile(r"^\$\{([a-zA-Z0-9_.]+)\}$")
+
+
+def _resolve_interpolations(node, root):
+    if isinstance(node, dict):
+        return {k: _resolve_interpolations(v, root) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_resolve_interpolations(v, root) for v in node]
+    if isinstance(node, str):
+        m = _INTERP.match(node)
+        if m:
+            cur = root
+            for part in m.group(1).split("."):
+                cur = cur[part]
+            return cur
+    return node
+
+
+def load_config(path: str, overrides: Optional[list[str]] = None) -> Config:
+    """Compose a task config: base file -> group defaults -> overrides."""
+    path = Path(path)
+    config_dir = path.parent
+    raw = yaml.safe_load(path.read_text()) or {}
+
+    defaults = raw.pop("defaults", {}) or {}
+    merged: dict = {}
+
+    # group-swap overrides (``section=name``) change which file loads
+    overrides = list(overrides or [])
+    group_over = {}
+    dot_over = []
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        if "." not in key and key in defaults:
+            group_over[key] = val
+        else:
+            dot_over.append((key, val))
+
+    for section, name in {**defaults, **group_over}.items():
+        group_file = config_dir / section / f"{name}.yaml"
+        merged[section] = yaml.safe_load(group_file.read_text()) or {}
+
+    merged = _deep_merge(merged, raw)
+
+    for key, val in dot_over:
+        parts = key.split(".")
+        cur = merged
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = _parse_value(val)
+
+    merged = _resolve_interpolations(merged, merged)
+    return Config.wrap(merged)
