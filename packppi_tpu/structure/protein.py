@@ -93,7 +93,18 @@ def from_pdb_string(pdb_str: str, model_idx: int = 0,
                     chain_id: Optional[Union[str, Sequence[str]]] = None,
                     discard_water: bool = True, mse_to_met: bool = False,
                     ignore_non_std: bool = True) -> Protein:
-    """Parse a PDB string into an atom14 ``Protein``."""
+    """Parse a PDB string into an atom14 ``Protein``.
+
+    Uses the native C++ parser when available (PACKPPI_NATIVE=0 disables);
+    the pure-Python path below is the behavioral specification and fallback.
+    """
+    from packppi_tpu import native
+
+    parsed = native.parse_pdb_native(pdb_str, model_idx, chain_id,
+                                     discard_water, mse_to_met, ignore_non_std)
+    if parsed is not None:
+        return Protein(**parsed)
+
     if isinstance(chain_id, str):
         chain_id = [chain_id]
     chains = _parse_atom_records(pdb_str, model_idx)
