@@ -1,0 +1,95 @@
+"""ESM-2 sequence-embedding pathway for PackPPI-AP's 'esm' mode.
+
+The reference extracts per-residue ESM-2 650M embeddings with chains joined
+by 20 ``<pad>`` tokens and optional ``<mask>``-ing (reference:
+src/datamodules/components/helper.py:131-169, loaded via torch.hub). Here
+the extractor uses HuggingFace ``transformers`` (facebook/esm2_t33_650M_UR50D)
+when the weights are present locally; in fully-offline deployments,
+embeddings are treated as PRECOMPUTED inputs (``load_precomputed``), which is
+also how the esm-mode trainer consumes them.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from packppi_tpu.chem import RESTYPES
+
+ESM_MODEL_NAME = "facebook/esm2_t33_650M_UR50D"
+ESM_DIM = 1280
+_PAD_RUN = 20
+
+
+def build_chain_separated_sequence(residue_types: np.ndarray,
+                                   chain_indices: np.ndarray,
+                                   mask_positions: Optional[np.ndarray] = None) -> str:
+    """Sequence string with '<pad>'*20 between chains and '<mask>' at masked
+    positions (reference formatting preserved)."""
+    parts = []
+    uniq = sorted(set(int(c) for c in chain_indices))
+    for j, c in enumerate(uniq):
+        sel = np.flatnonzero(chain_indices == c)
+        for i in sel:
+            if mask_positions is not None and mask_positions[i]:
+                parts.append("<mask>")
+            else:
+                idx = int(residue_types[i])
+                parts.append(RESTYPES[idx] if idx < len(RESTYPES) else "X")
+        if j != len(uniq) - 1:
+            parts.append("<pad>" * _PAD_RUN)
+    return "".join(parts)
+
+
+_extractor_cache = {}
+
+
+def get_esm_extractor(model_name: str = ESM_MODEL_NAME, device: str = "cpu"):
+    """Lazily construct a local-only ESM-2 extractor; None when the weights
+    are not available offline."""
+    if model_name in _extractor_cache:
+        return _extractor_cache[model_name]
+    try:
+        from transformers import AutoTokenizer, EsmModel
+
+        tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
+        model = EsmModel.from_pretrained(model_name, local_files_only=True).eval().to(device)
+    except Exception:
+        _extractor_cache[model_name] = None
+        return None
+
+    def extract(residue_types, chain_indices, mask_positions=None):
+        import torch
+
+        seq = build_chain_separated_sequence(residue_types, chain_indices, mask_positions)
+        enc = tok(seq, return_tensors="pt", add_special_tokens=True)
+        with torch.inference_mode():
+            out = model(**{k: v.to(device) for k, v in enc.items()})
+        reps = out.last_hidden_state[0, 1:-1].cpu().numpy()  # drop cls/eos
+        # keep residue positions only (pads between chains are dropped)
+        keep = []
+        uniq = sorted(set(int(c) for c in chain_indices))
+        pos = 0
+        for j, c in enumerate(uniq):
+            n = int((chain_indices == c).sum())
+            keep.extend(range(pos, pos + n))
+            pos += n + (_PAD_RUN if j != len(uniq) - 1 else 0)
+        return reps[keep].astype(np.float32)
+
+    _extractor_cache[model_name] = extract
+    return extract
+
+
+def load_precomputed(path: str, entry_key: str) -> Optional[np.ndarray]:
+    """[L, 1280] embeddings from ``<path>/<entry_key>.npy`` (or .npz with
+    'wt'/'mut' arrays)."""
+    base = Path(path)
+    npy = base / f"{entry_key}.npy"
+    if npy.exists():
+        return np.load(npy).astype(np.float32)
+    npz = base / f"{entry_key}.npz"
+    if npz.exists():
+        with np.load(npz) as z:
+            return {k: z[k].astype(np.float32) for k in z.files}
+    return None
