@@ -47,19 +47,25 @@ def test_native_parser_matches_python(fixture, kw):
 
 def test_native_parser_is_faster():
     text = open(os.path.join(FIXTURES, "t1124.pdb")).read()
-    t0 = time.perf_counter()
-    for _ in range(3):
-        native.parse_pdb_native(text, mse_to_met=True)
-    t_native = (time.perf_counter() - t0) / 3
+
+    def best_of(fn, n=3):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    native.parse_pdb_native(text, mse_to_met=True)  # warm
+    t_native = best_of(lambda: native.parse_pdb_native(text, mse_to_met=True))
 
     os.environ["PACKPPI_NATIVE"] = "0"
     try:
-        t0 = time.perf_counter()
-        protein_mod.from_pdb_string(text, mse_to_met=True)
-        t_python = time.perf_counter() - t0
+        protein_mod.from_pdb_string(text, mse_to_met=True)  # warm
+        t_python = best_of(lambda: protein_mod.from_pdb_string(text, mse_to_met=True))
     finally:
         os.environ["PACKPPI_NATIVE"] = "1"
-    assert t_native < t_python  # typically 10-50x
+    assert t_native < t_python  # typically ~5x
 
 
 def test_sasa_isolated_atom_full_sphere():
