@@ -144,6 +144,12 @@ class AffinityModel:
     def predict_esm(self, params, esm_wt, esm_mt, deterministic: bool = True):
         return self.net.apply(params, None, None, esm_wt, esm_mt, None, deterministic)
 
+    def loss_esm(self, params, esm_wt, esm_mt, ddg):
+        """Antisymmetric MSE over precomputed ESM embeddings ('esm' mode)."""
+        pred, pred_inv = self.predict_esm(params, esm_wt, esm_mt)
+        y = jnp.asarray(ddg)
+        return 0.5 * (jnp.mean((pred - y) ** 2) + jnp.mean((pred_inv + y) ** 2))
+
     def loss(self, params, backbone_params, key, batch: AffinityBatch):
         """Antisymmetric MSE (reference: src/models/AffinityPrediction.py:189-194)."""
         ddg, ddg_inv = self.predict(params, backbone_params, batch,

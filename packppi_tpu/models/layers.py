@@ -75,6 +75,28 @@ class SinusoidalTimeEmbedding(nn.Module):
         return emb
 
 
+class SigmaEmbedding(nn.Module):
+    """Noise-level conditioning block: embed sigma and fuse with features by
+    pre-concat or post-add (kept for experiment parity; the mainline model
+    conditions on time through the encoder's node features instead).
+    (reference: src/models/components/layers.py:211-245)
+    """
+
+    hidden_dim: int
+    sigma_dim: int = 16
+    operation: str = "pre_concat"  # pre_concat | post_add
+
+    @nn.compact
+    def __call__(self, x, sigma):
+        emb = SinusoidalTimeEmbedding(self.sigma_dim)(sigma)
+        emb = jnp.broadcast_to(emb, (*x.shape[:-1], self.sigma_dim))
+        if self.operation == "post_add":
+            h = MLP(x.shape[-1], self.hidden_dim, 2)(x)
+            return h + Dense(self.hidden_dim)(emb)
+        h = jnp.concatenate([x, emb], -1)
+        return MLP(x.shape[-1], self.hidden_dim, 2)(h)
+
+
 class GaussianFourierEmbedding(nn.Module):
     """Random-Fourier-feature time embedding (frozen weights)."""
 

@@ -101,9 +101,12 @@ class TorsionalDiffusion:
     # ---- reverse-diffusion sampling -----------------------------------------
 
     def sample(self, params, key, batch: ProteinBatch,
-               n_steps: Optional[int] = None) -> jnp.ndarray:
+               n_steps: Optional[int] = None,
+               corrector_steps: int = 0) -> jnp.ndarray:
         """30 denoising iterations as one lax.scan (reference:
-        src/models/TorsionalDiffusion.py:254-298). Returns SC_D [B, L, 4]."""
+        src/models/TorsionalDiffusion.py:254-298), optionally followed by
+        Langevin corrector sub-steps per iteration. Returns SC_D [B, L, 4].
+        """
         ts = np.linspace(1.0, 0.0, (n_steps or 30) + 1)
         times = jnp.asarray(ts[:-1], jnp.float32)
         dts = jnp.asarray(ts[:-1] - ts[1:], jnp.float32)
@@ -114,6 +117,7 @@ class TorsionalDiffusion:
 
         m1 = batch.chi_1pi_periodic_mask
         m2 = batch.chi_2pi_periodic_mask
+        m_any = batch.SC_D_mask > 0
 
         def step(carry, inputs):
             sc, key = carry
@@ -124,6 +128,12 @@ class TorsionalDiffusion:
             sc = self.schedule_pi.step(k1, sc, score, time, dt, m1)
             sc = self.schedule_2pi.step(k2, sc, score, time, dt, m2)
             sc = wrap_angle(sc) * batch.SC_D_mask
+
+            for _ in range(corrector_steps):
+                key, kc = jax.random.split(key)
+                score, _ = self.apply(params, batch, sc, t, deterministic=True)
+                sc = self.schedule_2pi.step_correct(kc, sc, score, m_any)
+                sc = wrap_angle(sc) * batch.SC_D_mask
             return (sc, key), None
 
         (sc, _), _ = jax.lax.scan(step, (sc, key), (times, dts))

@@ -173,6 +173,87 @@ def train_diffusion(cfg) -> dict:
     return {"best_val_loss": best_val, "best_ckpt": ckpt_mgr.best(), "last_ckpt": ckpt_mgr.latest()}
 
 
+def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
+    """'esm' mode: ddG head over precomputed/extracted ESM-2 embeddings
+    (reference: configs/experiment/affinity_esm.yaml; hidden dim 1280)."""
+    from packppi_tpu.data.esm import ESM_DIM, get_esm_extractor
+    from packppi_tpu.data.skempi import apply_mutations
+    from packppi_tpu.models import NetworkConfig
+    from packppi_tpu.models.affinity import AffinityModel
+    from packppi_tpu.structure import from_pdb_file
+    from packppi_tpu.structure.featurize import featurize
+
+    extractor = get_esm_extractor()
+
+    def load_item(e):
+        cache = cache_dir / f"esm_{e['pdb_id']}_{e['id']}.npz"
+        if cache.exists():
+            with np.load(cache) as z:
+                return z["wt"], z["mut"], np.float32(e["ddG"])
+        if extractor is None:
+            raise SystemExit(
+                "ESM mode needs either cached embeddings under "
+                f"{cache_dir} (esm_<pdb>_<id>.npz with wt/mut arrays) or a "
+                "local copy of facebook/esm2_t33_650M_UR50D")
+        prot = from_pdb_file(e["pdb_path"], mse_to_met=True)
+        feats = featurize(prot)
+        rt_mut, _ = apply_mutations(prot, e["mutations"], strict=False)
+        wt = extractor(feats["residue_type"], feats["chain_indices"])
+        mut = extractor(rt_mut, feats["chain_indices"])
+        wt = wt * feats["residue_mask"][:, None]
+        mut = mut * feats["residue_mask"][:, None]
+        np.savez_compressed(cache, wt=wt, mut=mut)
+        return wt, mut, np.float32(e["ddG"])
+
+    def make_batches(entries, batch_size, shuffle, seed):
+        idx = np.arange(len(entries))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(idx)
+        for s in range(0, len(idx) - batch_size + 1, batch_size):
+            items = [load_item(entries[i]) for i in idx[s:s + batch_size]]
+            L = max(w.shape[0] for w, _, _ in items)
+            wt = np.zeros((len(items), L, ESM_DIM), np.float32)
+            mt = np.zeros_like(wt)
+            ddg = np.zeros(len(items), np.float32)
+            for k, (w, m, d) in enumerate(items):
+                wt[k, : len(w)], mt[k, : len(m)], ddg[k] = w, m, d
+            yield jnp.asarray(wt), jnp.asarray(mt), jnp.asarray(ddg)
+
+    model = AffinityModel.create(NetworkConfig(), mode="esm")
+    key = jax.random.key(cfg.seed)
+    wt0, mt0, _ = next(make_batches(splits["train"], 1, False, 0))
+    params = model.net.init(key, None, None, wt0, mt0, None)
+    optimizer = optax.adamw(cfg.trainer.lr, weight_decay=cfg.trainer.weight_decay)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, wt, mt, ddg):
+        loss, grads = jax.value_and_grad(model.loss_esm)(params, wt, mt, ddg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    eval_loss = jax.jit(model.loss_esm)
+    ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
+    best_val, step = float("inf"), 0
+    for epoch in range(cfg.trainer.max_epochs):
+        losses = []
+        for wt, mt, ddg in make_batches(splits["train"], cfg.data.batch_size, True,
+                                        cfg.seed + epoch):
+            params, opt_state, loss = train_step(params, opt_state, wt, mt, ddg)
+            losses.append(loss)
+            step += 1
+        vlosses = [eval_loss(params, wt, mt, ddg)
+                   for wt, mt, ddg in make_batches(splits["valid"], cfg.data.batch_size, False, 0)]
+        train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
+        val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
+        best_val = min(best_val, val_loss)
+        metrics_log.log(step, {"train/loss": train_loss, "val/loss": val_loss})
+        log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
+        ckpt_mgr.save(step, params, metric=val_loss if np.isfinite(val_loss) else None)
+    metrics_log.close()
+    return {"best_val_loss": best_val, "best_ckpt": ckpt_mgr.best()}
+
+
 def train_affinity(cfg) -> dict:
     """PackPPI-AP training (frozen diffusion backbone) from a composed config."""
     from packppi_tpu.data.loader import BucketedLoader
@@ -196,6 +277,9 @@ def train_affinity(cfg) -> dict:
 
     cache_dir = Path(cfg.data.data_dir) / cfg.data.cache_dir
     cache_dir.mkdir(parents=True, exist_ok=True)
+
+    if cfg.model.mode == "esm":
+        return _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log)
 
     class SkempiDataset:
         def __init__(self, entries):
