@@ -33,6 +33,7 @@ class NetworkConfig:
     time_embedding_dim: int = 16
     num_rbf: int = 16
     top_k: int = 32
+    compute_dtype: str = "float32"  # "bfloat16" for the fast inference path
 
 
 class ChiScoreNetwork(nn.Module):
@@ -50,6 +51,7 @@ class ChiScoreNetwork(nn.Module):
             (score [B, L, 4], h_V [B, L, hidden]).
         """
         c = self.cfg
+        dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         sc_sincos = jnp.stack([jnp.sin(SC_D_noised), jnp.cos(SC_D_noised)], -1)
         sc_sincos = sc_sincos * batch.SC_D_mask[..., None]
 
@@ -59,6 +61,7 @@ class ChiScoreNetwork(nn.Module):
             time_embedding_dim=c.time_embedding_dim,
             num_rbf=c.num_rbf,
             top_k=c.top_k,
+            dtype=dtype,
         )(batch.X, batch.residue_type, batch.BB_D_sincos, sc_sincos,
           batch.chain_indices, batch.residue_mask, batch.residue_index, t)
 
@@ -71,9 +74,12 @@ class ChiScoreNetwork(nn.Module):
             position_scale=c.position_scale,
             use_ipmp=c.use_ipmp,
             k_neighbors=c.k_neighbors,
-        )(h_V, h_E, idx, batch.X, batch.residue_mask, deterministic)
+            dtype=dtype,
+        )(h_V.astype(dtype) if dtype else h_V,
+          h_E.astype(dtype) if dtype else h_E,
+          idx, batch.X, batch.residue_mask, deterministic)
 
-        score = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2)(h_V)
+        score = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2, dtype=dtype)(h_V)
         score = nn.relu(score)
-        score = MLP(c.hidden_dim // 8, 4, 2)(score)
-        return score, h_V
+        score = MLP(c.hidden_dim // 8, 4, 2, dtype=dtype)(score)
+        return score.astype(jnp.float32), h_V.astype(jnp.float32)

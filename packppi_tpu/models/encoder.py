@@ -38,6 +38,7 @@ class ProteinEncoder(nn.Module):
     num_rbf: int = 16
     top_k: int = 32
     max_relative_feature: int = 32  # AF2 relpos clip -> 65 one-hot bins
+    dtype: object = None  # computation dtype for embeddings (params f32)
 
     def _rbf(self, D):
         mu = jnp.linspace(0.0, 20.0, self.num_rbf)
@@ -96,6 +97,6 @@ class ProteinEncoder(nn.Module):
             node_parts.append(SinusoidalTimeEmbedding(self.time_embedding_dim)(t))
         h_V = jnp.concatenate(node_parts, -1)
 
-        h_V = nn.LayerNorm()(Dense(self.node_features)(h_V))
-        h_E = nn.LayerNorm()(Dense(self.edge_features)(h_E))
+        h_V = nn.LayerNorm(dtype=self.dtype)(Dense(self.node_features, dtype=self.dtype)(h_V))
+        h_E = nn.LayerNorm(dtype=self.dtype)(Dense(self.edge_features, dtype=self.dtype)(h_E))
         return h_V, h_E, idx

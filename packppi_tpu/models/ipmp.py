@@ -28,6 +28,7 @@ class InvariantPointLayer(nn.Module):
     act: str = "relu"
     edge_update: bool = True
     position_scale: float = 1.0
+    dtype: object = None  # message/FFN computation dtype (geometry stays f32)
 
     def _message_input(self, h_V, h_E, idx, frames, points_fn):
         p_local = points_fn(h_V).reshape(*h_V.shape[:-1], self.n_points, 3)     # [B,L,P,3]
@@ -64,25 +65,25 @@ class InvariantPointLayer(nn.Module):
 
         points_node = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
         msg_in = self._message_input(h_V, h_E, idx, frames, points_node)
-        msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act)(msg_in)
+        msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act, dtype=self.dtype)(msg_in)
         if mask_attend is not None:
             msg = msg * mask_attend[..., None]
         msg = jnp.mean(msg, axis=-2)
 
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        h_V = nn.LayerNorm()(h_V + drop(msg))
-        h_V = nn.LayerNorm()(h_V + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act)(h_V)))
+        h_V = nn.LayerNorm()(h_V + drop(msg.astype(h_V.dtype)))
+        h_V = nn.LayerNorm()(h_V + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype)(h_V).astype(h_V.dtype)))
         if mask_V is not None:
             h_V = h_V * mask_V[..., None]
 
         if self.edge_update:
             points_edge = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
             msg_in = self._message_input(h_V, h_E, idx, frames, points_edge)
-            e_msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act)(msg_in)
+            e_msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act, dtype=self.dtype)(msg_in)
             if mask_attend is not None:
                 e_msg = e_msg * mask_attend[..., None]
-            h_E = nn.LayerNorm()(h_E + drop(e_msg))
-            h_E = nn.LayerNorm()(h_E + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act)(h_E)))
+            h_E = nn.LayerNorm()(h_E + drop(e_msg.astype(h_E.dtype)))
+            h_E = nn.LayerNorm()(h_E + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype)(h_E).astype(h_E.dtype)))
             if mask_attend is not None:
                 h_E = h_E * mask_attend[..., None]
 
@@ -138,6 +139,7 @@ class MessagePassingStack(nn.Module):
     position_scale: float = 1.0
     use_ipmp: bool = True
     k_neighbors: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask, deterministic: bool = True):
@@ -149,6 +151,7 @@ class MessagePassingStack(nn.Module):
                 h_V, h_E = InvariantPointLayer(
                     self.hidden_dim, self.n_points, self.dropout, self.act,
                     edge_update=True, position_scale=self.position_scale,
+                    dtype=self.dtype,
                 )(h_V, h_E, idx, X, mask, mask_attend, deterministic)
             else:
                 h_V, h_E = VanillaMPNNLayer(

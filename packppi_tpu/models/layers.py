@@ -6,7 +6,7 @@ layout-compatible (reference: src/models/components/layers.py:10-33,248-282).
 from __future__ import annotations
 
 import math
-from typing import Callable
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -26,9 +26,13 @@ _ACTS: dict[str, Callable] = {
 _XAVIER = nn.initializers.xavier_uniform()
 
 
-def Dense(features: int, use_bias: bool = True) -> nn.Dense:
-    """Dense with Xavier-uniform kernels (the reference's global init)."""
-    return nn.Dense(features, use_bias=use_bias, kernel_init=_XAVIER)
+def Dense(features: int, use_bias: bool = True, dtype=None) -> nn.Dense:
+    """Dense with Xavier-uniform kernels (the reference's global init).
+
+    ``dtype`` sets the computation dtype (params stay float32); pass
+    jnp.bfloat16 for the mixed-precision inference path.
+    """
+    return nn.Dense(features, use_bias=use_bias, kernel_init=_XAVIER, dtype=dtype)
 
 
 class MLP(nn.Module):
@@ -42,14 +46,15 @@ class MLP(nn.Module):
     num_layers: int
     act: str = "relu"
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         act = _ACTS[self.act]
-        x = act(Dense(self.num_inter, self.use_bias)(x))
+        x = act(Dense(self.num_inter, self.use_bias, self.dtype)(x))
         for _ in range(self.num_layers - 2):
-            x = act(Dense(self.num_inter, self.use_bias)(x))
-        return Dense(self.num_out, self.use_bias)(x)
+            x = act(Dense(self.num_inter, self.use_bias, self.dtype)(x))
+        return Dense(self.num_out, self.use_bias, self.dtype)(x)
 
 
 class SinusoidalTimeEmbedding(nn.Module):
