@@ -41,7 +41,9 @@ def main() -> None:
     feats = featurize(from_pdb_file(fixture, mse_to_met=True))
     batch = stack_batch([feats])
 
-    model = TorsionalDiffusion.create(NetworkConfig(), SampleConfig())
+    # bf16 message/FFN compute (geometry stays f32): measured ~13% faster
+    # than f32 on v5e with ~0.5%-of-scale score deviation
+    model = TorsionalDiffusion.create(NetworkConfig(compute_dtype="bfloat16"), SampleConfig())
     params = model.init(jax.random.key(0), batch)
 
     def pack(params, key, batch):
