@@ -29,6 +29,8 @@ def _timeit(fn) -> float:
 
 
 def main() -> None:
+    from packppi_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
     import jax
 
     from packppi_tpu.data import stack_batch

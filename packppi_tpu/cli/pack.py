@@ -18,7 +18,10 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser(description="PackPPI-TPU side-chain packing")
-    p.add_argument("--input", required=True, help="input PDB (complex with backbone)")
+    p.add_argument("--input", required=True,
+                   help="input PDB, or a directory of PDBs for batched packing")
+    p.add_argument("--batch_size", type=int, default=4,
+                   help="complexes per device batch in directory mode")
     p.add_argument("--outdir", default="packppi_out", help="output directory")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint with network params")
     p.add_argument("--use_proximal", action="store_true", help="proximal clash refinement")
@@ -112,8 +115,84 @@ def run(args) -> dict:
     return metric
 
 
+def run_directory(args) -> list:
+    """Batched throughput mode: pack every PDB in a directory, bucketing by
+    length so each XLA compilation serves many complexes."""
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(getattr(args, "platform", None))
+    import jax
+
+    from packppi_tpu.data import stack_batch
+    from packppi_tpu.data.batch import bucket_length
+    from packppi_tpu.geometry import atom14_coords_from_torsions
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.structure import from_pdb_file, to_pdb
+    from packppi_tpu.structure.featurize import featurize
+    from packppi_tpu.train import load_params
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    pdbs = sorted(Path(args.input).glob("*.pdb"))
+    if not pdbs:
+        raise SystemExit(f"no PDBs in {args.input}")
+
+    proteins, feats = [], []
+    for p in pdbs:
+        prot = from_pdb_file(p, mse_to_met=True)
+        proteins.append((p, prot))
+        feats.append(featurize(prot))
+
+    model = TorsionalDiffusion.create(NetworkConfig(), SampleConfig())
+    key = jax.random.key(args.seed)
+    init_batch = stack_batch(feats[:1])
+    if args.ckpt:
+        template = jax.eval_shape(lambda: model.init(jax.random.key(0), init_batch))
+        params = load_params(args.ckpt, template)
+    else:
+        print("WARNING: no --ckpt given; sampling with randomly initialized weights")
+        key, k_init = jax.random.split(key)
+        params = model.init(k_init, init_batch)
+
+    sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=args.n_steps))
+
+    by_bucket: dict[int, list[int]] = {}
+    for i, f in enumerate(feats):
+        by_bucket.setdefault(bucket_length(len(f["residue_type"])), []).append(i)
+
+    results = []
+    t0 = time.perf_counter()
+    for bucket, members in sorted(by_bucket.items()):
+        for s in range(0, len(members), args.batch_size):
+            chunk = members[s:s + args.batch_size]
+            batch = stack_batch([feats[i] for i in chunk], target_len=bucket)
+            key, k = jax.random.split(key)
+            sc = sample_fn(params, k, batch)
+            coords = atom14_coords_from_torsions(batch.X, batch.residue_type,
+                                                 batch.BB_D, sc)
+            for row, i in enumerate(chunk):
+                path, prot = proteins[i]
+                L = len(feats[i]["residue_type"])
+                out_prot = dataclasses.replace(
+                    prot,
+                    atom_positions=np.asarray(coords[row, :L]),
+                    atom_mask=np.asarray(batch.atom_mask[row, :L]))
+                out_path = outdir / path.name
+                out_path.write_text(to_pdb(out_prot))
+                results.append({"input": str(path), "output": str(out_path)})
+    elapsed = time.perf_counter() - t0
+    print(f"packed {len(results)} complexes in {elapsed:.2f}s "
+          f"({elapsed / max(len(results), 1):.3f}s each)")
+    (outdir / "summary.json").write_text(json.dumps(
+        {"n": len(results), "seconds": elapsed, "results": results}, indent=1))
+    return results
+
+
 def main():
-    run(build_parser().parse_args())
+    args = build_parser().parse_args()
+    if Path(args.input).is_dir():
+        run_directory(args)
+    else:
+        run(args)
 
 
 if __name__ == "__main__":

@@ -39,9 +39,40 @@ class NetworkConfig:
 class ChiScoreNetwork(nn.Module):
     cfg: NetworkConfig = NetworkConfig()
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
+        self.encoder = ProteinEncoder(
+            node_features=c.node_features,
+            edge_features=c.edge_features,
+            time_embedding_dim=c.time_embedding_dim,
+            num_rbf=c.num_rbf,
+            top_k=c.top_k,
+            dtype=dtype,
+            name="ProteinEncoder_0",
+        )
+        self.stack = MessagePassingStack(
+            hidden_dim=c.hidden_dim,
+            num_layers=c.num_mpnn_layers,
+            n_points=c.n_points,
+            dropout=c.dropout,
+            act=c.act,
+            position_scale=c.position_scale,
+            use_ipmp=c.use_ipmp,
+            k_neighbors=c.k_neighbors,
+            dtype=dtype,
+            name="MessagePassingStack_0",
+        )
+        self.dec1 = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2, dtype=dtype, name="MLP_0")
+        self.dec2 = MLP(c.hidden_dim // 8, 4, 2, dtype=dtype, name="MLP_1")
+
+    def encode_static(self, batch: ProteinBatch):
+        """Backbone-only graph + edge features — constant during sampling."""
+        return self.encoder.encode_edges(batch.X, batch.chain_indices,
+                                         batch.residue_mask, batch.residue_index)
+
     def __call__(self, batch: ProteinBatch, SC_D_noised: jnp.ndarray,
-                 t: jnp.ndarray, deterministic: bool = True):
+                 t: jnp.ndarray, deterministic: bool = True, static=None):
         """Args:
             batch: padded protein batch.
             SC_D_noised: [B, L, 4] noised chi angles.
@@ -55,31 +86,17 @@ class ChiScoreNetwork(nn.Module):
         sc_sincos = jnp.stack([jnp.sin(SC_D_noised), jnp.cos(SC_D_noised)], -1)
         sc_sincos = sc_sincos * batch.SC_D_mask[..., None]
 
-        h_V, h_E, idx = ProteinEncoder(
-            node_features=c.node_features,
-            edge_features=c.edge_features,
-            time_embedding_dim=c.time_embedding_dim,
-            num_rbf=c.num_rbf,
-            top_k=c.top_k,
-            dtype=dtype,
-        )(batch.X, batch.residue_type, batch.BB_D_sincos, sc_sincos,
-          batch.chain_indices, batch.residue_mask, batch.residue_index, t)
+        h_V, h_E, idx = self.encoder(
+            batch.X, batch.residue_type, batch.BB_D_sincos, sc_sincos,
+            batch.chain_indices, batch.residue_mask, batch.residue_index, t,
+            static=static)
 
-        h_V = MessagePassingStack(
-            hidden_dim=c.hidden_dim,
-            num_layers=c.num_mpnn_layers,
-            n_points=c.n_points,
-            dropout=c.dropout,
-            act=c.act,
-            position_scale=c.position_scale,
-            use_ipmp=c.use_ipmp,
-            k_neighbors=c.k_neighbors,
-            dtype=dtype,
-        )(h_V.astype(dtype) if dtype else h_V,
-          h_E.astype(dtype) if dtype else h_E,
-          idx, batch.X, batch.residue_mask, deterministic)
+        h_V = self.stack(
+            h_V.astype(dtype) if dtype else h_V,
+            h_E.astype(dtype) if dtype else h_E,
+            idx, batch.X, batch.residue_mask, deterministic)
 
-        score = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2, dtype=dtype)(h_V)
+        score = self.dec1(h_V)
         score = nn.relu(score)
-        score = MLP(c.hidden_dim // 8, 4, 2, dtype=dtype)(score)
+        score = self.dec2(score)
         return score.astype(jnp.float32), h_V.astype(jnp.float32)

@@ -7,10 +7,16 @@ distances, a same-chain flag, inter-residue phi/psi dihedrals, and node
 features from sequence one-hots + dihedral sin/cos + a sinusoidal time
 embedding.
 
-TPU-first differences: neighbor coordinates are gathered FIRST and all 25
-atomic-distance RBFs are computed on the [B, L, K, 5, 5] gathered tensor —
-O(L*K) memory instead of the reference's 25 full [B, L, L] distance maps.
-Only the kNN search itself touches an [B, L, L] matrix.
+TPU-first differences:
+
+* neighbor coordinates are gathered FIRST and all 25 atomic-distance RBFs
+  are computed on the [B, L, K, 5, 5] gathered tensor — O(L*K) memory
+  instead of the reference's 25 full [B, L, L] distance maps; only the kNN
+  search touches an [L, L] matrix;
+* the encoder is split into a STATIC part (graph + edge embeddings, fixed
+  by the backbone) and a DYNAMIC part (node embeddings, depending on the
+  noised chis and diffusion time) so the reverse-diffusion sampler builds
+  the graph once for all 30 steps instead of 30 times.
 """
 from __future__ import annotations
 
@@ -20,7 +26,7 @@ import jax.numpy as jnp
 
 from packppi_tpu.geometry.dihedrals import dihedral_from_four_points
 from packppi_tpu.models.layers import Dense, SinusoidalTimeEmbedding
-from packppi_tpu.ops.graph import gather_edges, gather_nodes, masked_knn
+from packppi_tpu.ops.graph import gather_nodes, masked_knn
 
 
 def impute_cb(N, CA, C):
@@ -39,6 +45,14 @@ class ProteinEncoder(nn.Module):
     top_k: int = 32
     max_relative_feature: int = 32  # AF2 relpos clip -> 65 one-hot bins
     dtype: object = None  # computation dtype for embeddings (params f32)
+
+    def setup(self):
+        self.node_embed = Dense(self.node_features, dtype=self.dtype, name="Dense_0")
+        self.node_norm = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_0")
+        self.edge_embed = Dense(self.edge_features, dtype=self.dtype, name="Dense_1")
+        self.edge_norm = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_1")
+        if self.time_embedding_dim > 0:
+            self.time_embed = SinusoidalTimeEmbedding(self.time_embedding_dim)
 
     def _rbf(self, D):
         mu = jnp.linspace(0.0, 20.0, self.num_rbf)
@@ -73,10 +87,10 @@ class ProteinEncoder(nn.Module):
         psi = dihedral_from_four_points(N[:, :, None], CA[:, :, None], C[:, :, None], N_j)
         return jnp.stack([phi, psi], -1)
 
-    @nn.compact
-    def __call__(self, X, S, BB_D_sincos, SC_D_sincos, chain_indices, mask,
-                 residue_index=None, t=None):
-        """Returns (h_V [B,L,F], h_E [B,L,K,F], idx [B,L,K])."""
+    def encode_edges(self, X, chain_indices, mask, residue_index):
+        """STATIC part: kNN graph + embedded edge features [B, L, K, F].
+        Depends only on the backbone — constant through a sampling
+        trajectory."""
         N, CA, C, O = X[:, :, 0], X[:, :, 1], X[:, :, 2], X[:, :, 3]
         _, idx = masked_knn(CA, mask, self.top_k)
 
@@ -87,16 +101,29 @@ class ProteinEncoder(nn.Module):
         dihed = self._pairwise_dihedrals(N, CA, C, idx)
 
         h_E = jnp.concatenate([relpos.astype(jnp.float32), rbfs, e_type, dihed], -1)
+        return self.edge_norm(self.edge_embed(h_E)), idx
 
+    def encode_nodes(self, S, BB_D_sincos, SC_D_sincos, t=None):
+        """DYNAMIC part: node features from sequence + dihedrals (+time)."""
         node_parts = [
             jax.nn.one_hot(S, 21, dtype=jnp.float32),
             BB_D_sincos.reshape(*S.shape, -1),
             SC_D_sincos.reshape(*S.shape, -1),
         ]
         if self.time_embedding_dim > 0 and t is not None:
-            node_parts.append(SinusoidalTimeEmbedding(self.time_embedding_dim)(t))
+            node_parts.append(self.time_embed(t))
         h_V = jnp.concatenate(node_parts, -1)
+        return self.node_norm(self.node_embed(h_V))
 
-        h_V = nn.LayerNorm(dtype=self.dtype)(Dense(self.node_features, dtype=self.dtype)(h_V))
-        h_E = nn.LayerNorm(dtype=self.dtype)(Dense(self.edge_features, dtype=self.dtype)(h_E))
+    def __call__(self, X, S, BB_D_sincos, SC_D_sincos, chain_indices, mask,
+                 residue_index=None, t=None, static=None):
+        """Returns (h_V [B,L,F], h_E [B,L,K,F], idx [B,L,K]).
+
+        ``static``: optional precomputed (h_E, idx) from encode_edges.
+        """
+        if static is None:
+            h_E, idx = self.encode_edges(X, chain_indices, mask, residue_index)
+        else:
+            h_E, idx = static
+        h_V = self.encode_nodes(S, BB_D_sincos, SC_D_sincos, t)
         return h_V, h_E, idx

@@ -26,13 +26,14 @@ _ACTS: dict[str, Callable] = {
 _XAVIER = nn.initializers.xavier_uniform()
 
 
-def Dense(features: int, use_bias: bool = True, dtype=None) -> nn.Dense:
+def Dense(features: int, use_bias: bool = True, dtype=None, name=None) -> nn.Dense:
     """Dense with Xavier-uniform kernels (the reference's global init).
 
     ``dtype`` sets the computation dtype (params stay float32); pass
     jnp.bfloat16 for the mixed-precision inference path.
     """
-    return nn.Dense(features, use_bias=use_bias, kernel_init=_XAVIER, dtype=dtype)
+    return nn.Dense(features, use_bias=use_bias, kernel_init=_XAVIER,
+                    dtype=dtype, name=name)
 
 
 class MLP(nn.Module):

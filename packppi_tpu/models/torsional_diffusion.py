@@ -57,8 +57,13 @@ class TorsionalDiffusion:
         t = jnp.zeros(batch.residue_mask.shape)
         return self.net.init(key, batch, batch.SC_D, t, True)
 
-    def apply(self, params, batch: ProteinBatch, sc_d, t, deterministic=True, rngs=None):
-        return self.net.apply(params, batch, sc_d, t, deterministic, rngs=rngs)
+    def apply(self, params, batch: ProteinBatch, sc_d, t, deterministic=True,
+              rngs=None, static=None):
+        return self.net.apply(params, batch, sc_d, t, deterministic, static, rngs=rngs)
+
+    def encode_static(self, params, batch: ProteinBatch):
+        """Backbone graph + edge embeddings, reusable across sampling steps."""
+        return self.net.apply(params, batch, method="encode_static")
 
     # ---- noising ------------------------------------------------------------
 
@@ -119,19 +124,23 @@ class TorsionalDiffusion:
         m2 = batch.chi_2pi_periodic_mask
         m_any = batch.SC_D_mask > 0
 
+        # the backbone never moves during sampling: build the kNN graph and
+        # the 468-dim edge features ONCE instead of once per denoising step
+        static = self.encode_static(params, batch)
+
         def step(carry, inputs):
             sc, key = carry
             time, dt = inputs
             key, k1, k2 = jax.random.split(key, 3)
             t = jnp.full((B, L), time)
-            score, _ = self.apply(params, batch, sc, t, deterministic=True)
+            score, _ = self.apply(params, batch, sc, t, deterministic=True, static=static)
             sc = self.schedule_pi.step(k1, sc, score, time, dt, m1)
             sc = self.schedule_2pi.step(k2, sc, score, time, dt, m2)
             sc = wrap_angle(sc) * batch.SC_D_mask
 
             for _ in range(corrector_steps):
                 key, kc = jax.random.split(key)
-                score, _ = self.apply(params, batch, sc, t, deterministic=True)
+                score, _ = self.apply(params, batch, sc, t, deterministic=True, static=static)
                 sc = self.schedule_2pi.step_correct(kc, sc, score, m_any)
                 sc = wrap_angle(sc) * batch.SC_D_mask
             return (sc, key), None

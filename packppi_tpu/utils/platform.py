@@ -16,3 +16,20 @@ def configure_platform(platform: Optional[str] = None) -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    enable_compilation_cache()
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache: repeat invocations of the CLIs and
+    bench skip the (minutes-long on a tunneled TPU) compile step."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "PACKPPI_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "packppi_tpu", "xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass

@@ -69,3 +69,15 @@ def test_loss_decreases_under_no_noise_consistency(model, params, small_batch):
     l1 = float(model.loss(params, jax.random.key(3), small_batch))
     l2 = float(model.loss(params, jax.random.key(3), small_batch))
     assert l1 == l2
+
+
+def test_static_edge_cache_is_exact(model, params, small_batch):
+    """Forward with precomputed static edges must equal the fused forward."""
+    import jax.numpy as jnp
+
+    t = jnp.full(small_batch.residue_mask.shape, 0.41)
+    static = model.encode_static(params, small_batch)
+    s1, h1 = model.apply(params, small_batch, small_batch.SC_D, t)
+    s2, h2 = model.apply(params, small_batch, small_batch.SC_D, t, static=static)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))

@@ -1,0 +1,56 @@
+"""Pallas clash kernel vs the jnp blocked implementation (interpret mode on
+CPU; the real-TPU path is exercised by bench/eval flows)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from packppi_tpu.chem import CHEM
+from packppi_tpu.data import stack_batch
+from packppi_tpu.ops.clash import between_residue_clash
+from packppi_tpu.ops.pallas_clash import between_residue_clash_pallas
+from packppi_tpu.structure import from_pdb_file
+from packppi_tpu.structure.featurize import featurize
+
+from conftest import FIXTURES
+
+
+@pytest.fixture(scope="module")
+def brs_batch():
+    f = featurize(from_pdb_file(os.path.join(FIXTURES, "1brs.pdb"), mse_to_met=True))
+    return stack_batch([f], target_len=len(f["residue_type"]))
+
+
+def test_pallas_kernel_matches_jnp(brs_batch):
+    b = brs_batch
+    radius = jnp.asarray(CHEM.vdw_radius_atom14)[b.residue_type] * b.atom_mask
+    ref = between_residue_clash(jnp.asarray(b.X), jnp.asarray(b.atom_mask),
+                                radius, jnp.asarray(b.residue_index),
+                                tol_soft=0.5, block=64)["per_atom_loss_sum"]
+    got = between_residue_clash_pallas(jnp.asarray(b.X), jnp.asarray(b.atom_mask),
+                                       radius, jnp.asarray(b.residue_index),
+                                       tol_soft=0.5, blk=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-3)
+
+
+def test_pallas_kernel_perturbed_chis(brs_batch):
+    """Same comparison on a clash-heavy conformation (nonzero everywhere)."""
+    from packppi_tpu.geometry import atom14_coords_from_torsions
+
+    b = brs_batch
+    rng = np.random.default_rng(0)
+    sc_bad = jnp.asarray(np.asarray(b.SC_D)
+                         + rng.normal(0, 0.8, b.SC_D.shape).astype(np.float32)
+                         * np.asarray(b.SC_D_mask))
+    coords = atom14_coords_from_torsions(b.X, b.residue_type, b.BB_D, sc_bad)
+    radius = jnp.asarray(CHEM.vdw_radius_atom14)[b.residue_type] * b.atom_mask
+
+    ref = between_residue_clash(coords, jnp.asarray(b.atom_mask), radius,
+                                jnp.asarray(b.residue_index),
+                                tol_soft=0.5, block=128)["per_atom_loss_sum"]
+    got = between_residue_clash_pallas(coords, jnp.asarray(b.atom_mask), radius,
+                                       jnp.asarray(b.residue_index),
+                                       tol_soft=0.5, blk=512, interpret=True)
+    assert float(jnp.asarray(ref).sum()) > 1.0  # the perturbation really clashes
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3, rtol=1e-3)
