@@ -140,6 +140,11 @@ int ppi_parse_pdb(const char* text, long text_len, int model_idx,
   int model = 0;
   bool seen_model = false;
   int order = 0;
+  // fast path: atoms arrive grouped by residue
+  char last_chain = '\0';
+  int last_resseq = INT32_MIN;
+  char last_icode = '\0';
+  size_t last_slot_idx = 0;
 
   const char* p = text;
   const char* end = text + text_len;
@@ -180,21 +185,31 @@ int ppi_parse_pdb(const char* text, long text_len, int model_idx,
     if (!parse_int_field(line, len, 22, 4, &resseq)) continue;
     char icode = len > 26 ? line[26] : ' ';
 
-    auto key = std::make_pair(resseq, icode);
-    auto& idx_map = index_of[chain];
-    auto it = idx_map.find(key);
-    if (it == idx_map.end()) {
-      chains[chain].emplace_back();
-      Residue& res = chains[chain].back();
-      res.restype = ri->second;
-      res.resseq = resseq;
-      res.icode = icode;
-      res.file_order = order++;
-      it = idx_map.emplace(key, chains[chain].size() - 1).first;
+    size_t res_idx;
+    if (chain == last_chain && resseq == last_resseq && icode == last_icode) {
+      res_idx = last_slot_idx;
+    } else {
+      auto key = std::make_pair(resseq, icode);
+      auto& idx_map = index_of[chain];
+      auto it = idx_map.find(key);
+      if (it == idx_map.end()) {
+        chains[chain].emplace_back();
+        Residue& res = chains[chain].back();
+        res.restype = ri->second;
+        res.resseq = resseq;
+        res.icode = icode;
+        res.file_order = order++;
+        it = idx_map.emplace(key, chains[chain].size() - 1).first;
+      }
+      res_idx = it->second;
+      last_chain = chain;
+      last_resseq = resseq;
+      last_icode = icode;
+      last_slot_idx = res_idx;
     }
     if (slot < 0) continue;  // atom not in this residue's atom14 set
 
-    Residue& res = chains[chain][it->second];
+    Residue& res = chains[chain][res_idx];
     SlotAtom& sa = res.slots[slot];
     float occ = static_cast<float>(parse_float_field(line, len, 54, 6, 1.0));
     if (sa.occ >= 0.f && occ <= sa.occ) continue;  // keep dominant altLoc

@@ -53,10 +53,14 @@ def _clash_kernel(pos_ref, meta_ref, out_row_ref, out_col_ref, col_acc, *,
     mr = meta_ref[:, rows]
     mc = meta_ref[:, cols]
 
-    # d^2 = |a|^2 + |b|^2 - 2 a.b ; the Gram term is one MXU matmul
+    # d^2 = |a|^2 + |b|^2 - 2 a.b ; the Gram term is one MXU matmul.
+    # HIGHEST precision is required: coordinates are O(100 A), so default
+    # bf16 MXU passes would leave ~Angstrom-scale distance error (silently
+    # fine in interpret mode, catastrophically wrong on hardware).
     gram = jax.lax.dot_general(
         pr[:3], pc[:3], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [blk_r, blk_c]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)              # [blk_r, blk_c]
     d2 = pr[3].reshape(blk, 1) + pc[3].reshape(1, blk) - 2.0 * gram
     d = jnp.sqrt(jnp.maximum(d2, 1e-10))
 

@@ -64,3 +64,30 @@ def test_knn_graph_matches_reference(golden, batch):
     _, idx = masked_knn(jnp.asarray(batch.X[:, :, 1, :]),
                         jnp.asarray(batch.residue_mask), 32)
     np.testing.assert_array_equal(np.asarray(idx), ref["E_idx"])
+
+
+def test_affinity_conversion_reproduces_reference(batch):
+    """Reference AffinityPrediction weights -> AffinityNet: converted
+    weights must reproduce the reference ddG prediction on a real mutation
+    batch (1BRS KA25A+DD35A)."""
+    from convert_checkpoint import convert_affinity_state_dict
+
+    from packppi_tpu.data.skempi import parse_mutation, skempi_features, stack_affinity_batch
+    from packppi_tpu.models.affinity import AffinityNet
+
+    z = np.load(os.path.join(GOLDEN, "affinity_golden.npz"))
+    sd = {k[4:]: z[k] for k in z.files if k.startswith("sd::")}
+
+    prot_path = os.path.join(FIXTURES, "1brs.pdb")
+    from packppi_tpu.structure import from_pdb_file
+    prot = from_pdb_file(prot_path, mse_to_met=True)
+    feats = skempi_features(prot, [parse_mutation("KA25A"), parse_mutation("DD35A")], ddg=4.85)
+    abatch = stack_affinity_batch([feats], target_len=len(feats["residue_type"]))
+
+    params = convert_affinity_state_dict(sd)
+    net = AffinityNet(NetworkConfig(), mode="network")
+    ddg, ddg_inv = net.apply(params, abatch.wild(), abatch.mutant(),
+                             jnp.asarray(z["h_pret_wt"]), jnp.asarray(z["h_pret_mt"]),
+                             jnp.asarray(abatch.mut_mask))
+    np.testing.assert_allclose(float(ddg[0]), float(z["ddg"][0]), atol=5e-3)
+    np.testing.assert_allclose(float(ddg_inv[0]), float(z["ddg_inv"][0]), atol=5e-3)

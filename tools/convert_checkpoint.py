@@ -70,12 +70,62 @@ def convert_diffusion_state_dict(sd: dict, num_mpnn_layers: int = 3) -> dict:
     return {"params": params}
 
 
+def _embedding(sd, prefix):
+    return {"embedding": np.asarray(sd[f"{prefix}.weight"])}
+
+
+def convert_affinity_state_dict(sd: dict, num_mpnn_layers: int = 3) -> dict:
+    """Reference AffinityPrediction ('network' mode) state_dict -> flax tree
+    for AffinityNet (the frozen 'pret.' backbone converts separately with
+    convert_diffusion_state_dict on the pre-checkpoint)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+
+    params["mutation_encoder"] = {
+        "Dense_0": _linear(sd, "mutation_encoder.node_embedding"),
+        "LayerNorm_0": _layernorm(sd, "mutation_encoder.norm_nodes"),
+        "Dense_1": _linear(sd, "mutation_encoder.edge_embedding"),
+        "LayerNorm_1": _layernorm(sd, "mutation_encoder.norm_edges"),
+    }
+
+    stack = {}
+    for i in range(num_mpnn_layers):
+        p = f"mutation_mpnn.mpnn_layers.{i}"
+        stack[f"InvariantPointLayer_{i}"] = {
+            "Dense_0": _linear(sd, f"{p}.points_fn_node"),
+            "MLP_0": _mlp(sd, f"{p}.node_message_fn", 3),
+            "LayerNorm_0": _layernorm(sd, f"{p}.norm.0"),
+            "MLP_1": _mlp(sd, f"{p}.node_dense", 2),
+            "LayerNorm_1": _layernorm(sd, f"{p}.norm.1"),
+            "Dense_1": _linear(sd, f"{p}.points_fn_edge"),
+            "MLP_2": _mlp(sd, f"{p}.edge_message_fn", 3),
+            "LayerNorm_2": _layernorm(sd, f"{p}.norm.2"),
+            "MLP_3": _mlp(sd, f"{p}.edge_dense", 2),
+            "LayerNorm_3": _layernorm(sd, f"{p}.norm.3"),
+        }
+    params["mutation_mpnn"] = stack
+
+    params["mut_bias"] = _embedding(sd, "mut_bias")
+    params["seq_embedding"] = _embedding(sd, "seq_embedding")
+    # mutation_fusion Sequential: [Linear, ReLU, Linear]
+    params["Dense_0"] = _linear(sd, "mutation_fusion.0")
+    params["Dense_1"] = _linear(sd, "mutation_fusion.2")
+    # ddg_predictor Sequential: [Linear, ReLU, Linear, ReLU, Linear]
+    params["DdgHead_0"] = {
+        "Dense_0": _linear(sd, "ddg_predictor.0"),
+        "Dense_1": _linear(sd, "ddg_predictor.2"),
+        "Dense_2": _linear(sd, "ddg_predictor.4"),
+    }
+    return {"params": params}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--torch_ckpt", required=True,
                    help=".ckpt/.pt file with a state_dict (Lightning or plain)")
     p.add_argument("--out", required=True, help="output orbax checkpoint dir")
     p.add_argument("--num_mpnn_layers", type=int, default=3)
+    p.add_argument("--model", default="diffusion", choices=["diffusion", "affinity"])
     args = p.parse_args()
 
     import torch
@@ -83,7 +133,10 @@ def main():
     blob = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
     sd = blob.get("state_dict", blob)
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
-    params = convert_diffusion_state_dict(sd, args.num_mpnn_layers)
+    if args.model == "affinity":
+        params = convert_affinity_state_dict(sd, args.num_mpnn_layers)
+    else:
+        params = convert_diffusion_state_dict(sd, args.num_mpnn_layers)
 
     from packppi_tpu.train import save_params
     save_params(args.out, params)
