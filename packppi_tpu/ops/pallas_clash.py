@@ -53,16 +53,15 @@ def _clash_kernel(pos_ref, meta_ref, out_row_ref, out_col_ref, col_acc, *,
     mr = meta_ref[:, rows]
     mc = meta_ref[:, cols]
 
-    # d^2 = |a|^2 + |b|^2 - 2 a.b ; the Gram term is one MXU matmul.
-    # HIGHEST precision is required: coordinates are O(100 A), so default
-    # bf16 MXU passes would leave ~Angstrom-scale distance error (silently
-    # fine in interpret mode, catastrophically wrong on hardware).
-    gram = jax.lax.dot_general(
-        pr[:3], pc[:3], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)              # [blk_r, blk_c]
-    d2 = pr[3].reshape(blk, 1) + pc[3].reshape(1, blk) - 2.0 * gram
-    d = jnp.sqrt(jnp.maximum(d2, 1e-10))
+    # Squared distances on the VPU via broadcast diffs. (A Gram-matrix MXU
+    # formulation was tried and rejected: with O(100 A) coordinates the
+    # default bf16 MXU passes leave Angstrom-scale error, and the exact
+    # HIGHEST-precision path costs 6 passes on a K=3 contraction — slower
+    # than three fused VPU squared-diffs.)
+    d2 = ((pr[0].reshape(blk, 1) - pc[0].reshape(1, blk)) ** 2
+          + (pr[1].reshape(blk, 1) - pc[1].reshape(1, blk)) ** 2
+          + (pr[2].reshape(blk, 1) - pc[2].reshape(1, blk)) ** 2)
+    d = jnp.sqrt(d2 + 1e-10)
 
     ex_r, rad_r, ridx_r, slot_r = (mr[k].reshape(blk, 1) for k in range(4))
     ex_c, rad_c, ridx_c, slot_c = (mc[k].reshape(1, blk) for k in range(4))
