@@ -21,6 +21,36 @@ def _norm(v, eps=1e-8):
     return jnp.sqrt(jnp.sum(v * v, -1) + eps)
 
 
+class FactoredMessageMLP(nn.Module):
+    """First message layer factored by input origin.
+
+    Mathematically identical to one Dense over [h_i | h_E | h_j | geometry]
+    followed by the rest of the MLP, but the h_i and h_j contributions are
+    computed ONCE PER NODE ([L] matmuls) and broadcast/gathered per edge —
+    only the edge-local part ([h_E | geometry], 200 wide instead of 456)
+    runs at [L*K] size. ~3.5x fewer first-layer FLOPs and 2.3x less
+    materialized edge-tensor traffic.
+    """
+
+    hidden_dim: int
+    act: str = "relu"
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, h_V, h_E, idx, geom):
+        from packppi_tpu.models.layers import _ACTS, Dense
+
+        per_i = Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="Dense_i")(h_V)
+        per_j = Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="Dense_j")(h_V)
+        edge_in = jnp.concatenate([h_E, geom.astype(h_E.dtype)], -1)
+        per_e = Dense(self.hidden_dim, dtype=self.dtype, name="Dense_e")(edge_in)
+
+        act = _ACTS[self.act]
+        x = act(per_i[:, :, None] + gather_nodes(per_j, idx) + per_e)
+        x = act(Dense(self.hidden_dim, dtype=self.dtype, name="Dense_1")(x))
+        return Dense(self.hidden_dim, dtype=self.dtype, name="Dense_2")(x)
+
+
 class InvariantPointLayer(nn.Module):
     hidden_dim: int = 128
     n_points: int = 8
@@ -30,7 +60,10 @@ class InvariantPointLayer(nn.Module):
     position_scale: float = 1.0
     dtype: object = None  # message/FFN computation dtype (geometry stays f32)
 
-    def _message_input(self, h_V, h_E, idx, frames, points_fn):
+    def _geometry_features(self, h_V, idx, frames, points_fn):
+        """[B, L, K, 9*n_points] frame-invariant point features: node i's
+        local points + norms, node j's points in i's frame + norms, global
+        point-pair distances."""
         p_local = points_fn(h_V).reshape(*h_V.shape[:-1], self.n_points, 3)     # [B,L,P,3]
         frames_p = Rigid(frames.rot[..., None, :, :], frames.trans[..., None, :])
         p_global = rigid_apply(frames_p, p_local)                                # [B,L,P,3]
@@ -39,18 +72,11 @@ class InvariantPointLayer(nn.Module):
         frames_pk = Rigid(frames.rot[..., None, None, :, :], frames.trans[..., None, None, :])
         nbr_p_local = invert_apply(frames_pk, nbr_p_global)                      # [B,L,K,P,3]
 
-        K = idx.shape[-1]
         p_local_k = jnp.broadcast_to(p_local[:, :, None], (*idx.shape, self.n_points, 3))
         p_global_k = jnp.broadcast_to(p_global[:, :, None], (*idx.shape, self.n_points, 3))
 
-        h_V_j = gather_nodes(h_V, idx)                                           # [B,L,K,F]
-        h_V_i = jnp.broadcast_to(h_V[:, :, None], (*idx.shape, h_V.shape[-1]))
-
         flatten = lambda x: x.reshape(*idx.shape, -1)
         return jnp.concatenate([
-            h_V_i,
-            h_E,
-            h_V_j,
             flatten(p_local_k),                  # node i's points (local)
             _norm(p_local_k),                    # their distance to i's CA
             flatten(nbr_p_local),                # node j's points in i's frame
@@ -64,26 +90,28 @@ class InvariantPointLayer(nn.Module):
         frames = scale_translation(bb_frames_from_atom14(X), 1.0 / self.position_scale)
 
         points_node = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
-        msg_in = self._message_input(h_V, h_E, idx, frames, points_node)
-        msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act, dtype=self.dtype)(msg_in)
+        geom = self._geometry_features(h_V, idx, frames, points_node)
+        msg = FactoredMessageMLP(self.hidden_dim, act=self.act, dtype=self.dtype,
+                                 name="MLP_0")(h_V, h_E, idx, geom)
         if mask_attend is not None:
             msg = msg * mask_attend[..., None]
         msg = jnp.mean(msg, axis=-2)
 
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
         h_V = nn.LayerNorm()(h_V + drop(msg.astype(h_V.dtype)))
-        h_V = nn.LayerNorm()(h_V + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype)(h_V).astype(h_V.dtype)))
+        h_V = nn.LayerNorm()(h_V + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype, name="MLP_1")(h_V).astype(h_V.dtype)))
         if mask_V is not None:
             h_V = h_V * mask_V[..., None]
 
         if self.edge_update:
             points_edge = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
-            msg_in = self._message_input(h_V, h_E, idx, frames, points_edge)
-            e_msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act, dtype=self.dtype)(msg_in)
+            geom = self._geometry_features(h_V, idx, frames, points_edge)
+            e_msg = FactoredMessageMLP(self.hidden_dim, act=self.act, dtype=self.dtype,
+                                       name="MLP_2")(h_V, h_E, idx, geom)
             if mask_attend is not None:
                 e_msg = e_msg * mask_attend[..., None]
             h_E = nn.LayerNorm()(h_E + drop(e_msg.astype(h_E.dtype)))
-            h_E = nn.LayerNorm()(h_E + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype)(h_E).astype(h_E.dtype)))
+            h_E = nn.LayerNorm()(h_E + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype, name="MLP_3")(h_E).astype(h_E.dtype)))
             if mask_attend is not None:
                 h_E = h_E * mask_attend[..., None]
 

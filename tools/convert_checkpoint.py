@@ -36,6 +36,22 @@ def _mlp(sd, prefix, n_layers):
     return out
 
 
+def _message_mlp(sd, prefix, hidden: int = 128):
+    """Reference message MLP (input [h_i | h_E | h_j | geometry]) -> our
+    FactoredMessageMLP: the input kernel splits by origin (rows permute so
+    Dense_e sees [h_E | geometry]); bias lives on the edge branch."""
+    w = np.ascontiguousarray(sd[f"{prefix}.W_in.weight"].T)  # [456, hidden]
+    bias = np.asarray(sd[f"{prefix}.W_in.bias"])
+    h = hidden
+    return {
+        "Dense_i": {"kernel": w[:h]},
+        "Dense_e": {"kernel": np.concatenate([w[h:2 * h], w[3 * h:]], 0), "bias": bias},
+        "Dense_j": {"kernel": w[2 * h:3 * h]},
+        "Dense_1": _linear(sd, f"{prefix}.W_inter.0"),
+        "Dense_2": _linear(sd, f"{prefix}.W_out"),
+    }
+
+
 def convert_diffusion_state_dict(sd: dict, num_mpnn_layers: int = 3) -> dict:
     """Reference TDiffusionModule state_dict -> {'params': ...} flax tree."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
@@ -53,12 +69,12 @@ def convert_diffusion_state_dict(sd: dict, num_mpnn_layers: int = 3) -> dict:
         p = f"mpnn.mpnn_layers.{i}"
         stack[f"InvariantPointLayer_{i}"] = {
             "Dense_0": _linear(sd, f"{p}.points_fn_node"),
-            "MLP_0": _mlp(sd, f"{p}.node_message_fn", 3),
+            "MLP_0": _message_mlp(sd, f"{p}.node_message_fn"),
             "LayerNorm_0": _layernorm(sd, f"{p}.norm.0"),
             "MLP_1": _mlp(sd, f"{p}.node_dense", 2),
             "LayerNorm_1": _layernorm(sd, f"{p}.norm.1"),
             "Dense_1": _linear(sd, f"{p}.points_fn_edge"),
-            "MLP_2": _mlp(sd, f"{p}.edge_message_fn", 3),
+            "MLP_2": _message_mlp(sd, f"{p}.edge_message_fn"),
             "LayerNorm_2": _layernorm(sd, f"{p}.norm.2"),
             "MLP_3": _mlp(sd, f"{p}.edge_dense", 2),
             "LayerNorm_3": _layernorm(sd, f"{p}.norm.3"),
@@ -93,12 +109,12 @@ def convert_affinity_state_dict(sd: dict, num_mpnn_layers: int = 3) -> dict:
         p = f"mutation_mpnn.mpnn_layers.{i}"
         stack[f"InvariantPointLayer_{i}"] = {
             "Dense_0": _linear(sd, f"{p}.points_fn_node"),
-            "MLP_0": _mlp(sd, f"{p}.node_message_fn", 3),
+            "MLP_0": _message_mlp(sd, f"{p}.node_message_fn"),
             "LayerNorm_0": _layernorm(sd, f"{p}.norm.0"),
             "MLP_1": _mlp(sd, f"{p}.node_dense", 2),
             "LayerNorm_1": _layernorm(sd, f"{p}.norm.1"),
             "Dense_1": _linear(sd, f"{p}.points_fn_edge"),
-            "MLP_2": _mlp(sd, f"{p}.edge_message_fn", 3),
+            "MLP_2": _message_mlp(sd, f"{p}.edge_message_fn"),
             "LayerNorm_2": _layernorm(sd, f"{p}.norm.2"),
             "MLP_3": _mlp(sd, f"{p}.edge_dense", 2),
             "LayerNorm_3": _layernorm(sd, f"{p}.norm.3"),
