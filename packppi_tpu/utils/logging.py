@@ -72,6 +72,24 @@ def timed(label: str, logger: Optional[logging.Logger] = None):
 
 
 @contextmanager
+def time_limit(seconds: int):
+    """SIGALRM-based hard wall-clock limit for host-side steps (e.g. external
+    tool subprocess hangs). Raises TimeoutError."""
+    import signal
+
+    def handler(signum, frame):
+        raise TimeoutError(f"exceeded {seconds}s time limit")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+@contextmanager
 def device_trace(log_dir: Optional[str]):
     """jax.profiler trace for TensorBoard's profile plugin (no-op if dir
     unset)."""

@@ -91,3 +91,42 @@ def test_checkpoint_manager_retention(tmp_path):
     assert kept == {"step_00000004", "step_00000002", "step_00000005"}
     assert mgr.best().endswith("step_00000004")
     assert mgr.latest().endswith("step_00000005")
+
+
+def test_train_step_skips_nonfinite_loss():
+    """A NaN loss must leave params untouched (on-device skip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from packppi_tpu.train.diffusion_task import TrainState, make_optimizer
+
+    import optax
+
+    optimizer = make_optimizer()
+
+    class FakeModel:
+        def loss(self, params, key, batch):
+            return params["w"].sum() * jnp.nan
+
+    from packppi_tpu.train.diffusion_task import make_train_step
+    step = make_train_step(FakeModel(), optimizer)
+    params = {"w": jnp.ones(3)}
+    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    new_state, loss = step(state, jax.random.key(0), None)
+    assert not bool(jnp.isfinite(loss))
+    np.testing.assert_array_equal(np.asarray(new_state.params["w"]), np.ones(3))
+    assert int(new_state.step) == 1
+
+
+def test_time_limit():
+    import time
+
+    import pytest as _pytest
+
+    from packppi_tpu.utils.logging import time_limit
+
+    with time_limit(5):
+        pass
+    with _pytest.raises(TimeoutError):
+        with time_limit(1):
+            time.sleep(2)
