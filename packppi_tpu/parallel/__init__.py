@@ -4,4 +4,5 @@ from packppi_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     param_shardings,
     replicated,
+    seq_batch_shardings,
 )

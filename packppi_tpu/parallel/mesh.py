@@ -34,6 +34,24 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def seq_batch_shardings(mesh: Mesh, batch, seq_axis: str = "model"):
+    """Sequence-parallel layout: batch over 'data' AND the residue axis over
+    ``seq_axis`` — for complexes too long for one chip's activation memory.
+    GSPMD inserts the all-gathers the kNN/pairwise stages need; results are
+    bit-identical to single-device execution (tested).
+    """
+    L = batch.residue_mask.shape[1]
+
+    def rule(x):
+        if x.ndim >= 2 and x.shape[1] == L:
+            return NamedSharding(mesh, P("data", seq_axis))
+        return NamedSharding(mesh, P("data"))
+
+    import jax
+
+    return jax.tree.map(rule, batch)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
