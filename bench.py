@@ -62,7 +62,7 @@ def main() -> None:
         out, _ = jax.lax.scan(body, pack(params, key, batch), keys)
         return out
 
-    R = 8
+    R = 16
     keys = jax.random.split(jax.random.key(42), R - 1)
     float(pack_repeat(params, jax.random.key(1), batch, keys))  # compile + warm
 
@@ -72,7 +72,7 @@ def main() -> None:
     floor = min(_timeit(lambda: float(tiny(jax.numpy.zeros(())))) for _ in range(5))
 
     total = min(_timeit(lambda: float(pack_repeat(params, jax.random.key(k), batch, keys)))
-                for k in range(3))
+                for k in range(5))
     value = max(total - floor, 1e-9) / R  # seconds per full 30-step pack
 
     print(json.dumps({

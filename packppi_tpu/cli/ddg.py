@@ -18,7 +18,10 @@ def build_parser():
                    help="comma-separated mutations, e.g. KI15G or KA25A,DD35A")
     p.add_argument("--ckpt", default=None, help="affinity-net checkpoint")
     p.add_argument("--pre_ckpt", default=None, help="pretrained diffusion checkpoint")
-    p.add_argument("--mode", default="network", choices=["network", "linear"])
+    p.add_argument("--mode", default="network", choices=["network", "linear", "esm"])
+    p.add_argument("--esm_dir", default=None,
+                   help="esm mode: directory with precomputed <key>.npz (wt/mut) embeddings")
+    p.add_argument("--esm_key", default=None, help="esm mode: embedding file stem")
     p.add_argument("--outdir", default="packppi_out")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)
@@ -43,6 +46,42 @@ def run(args) -> float:
 
     model = AffinityModel.create(NetworkConfig(), mode=args.mode)
     key = jax.random.key(args.seed)
+
+    if args.mode == "esm":
+        import jax.numpy as jnp
+        import numpy as np
+
+        from packppi_tpu.data.esm import get_esm_extractor, load_precomputed
+
+        emb = load_precomputed(args.esm_dir, args.esm_key) if args.esm_dir else None
+        if isinstance(emb, dict):
+            wt, mt = emb["wt"], emb["mut"]
+        elif emb is not None:
+            raise SystemExit("esm npz must contain 'wt' and 'mut' arrays")
+        else:
+            extractor = get_esm_extractor()
+            if extractor is None:
+                raise SystemExit("esm mode needs --esm_dir/--esm_key or local ESM-2 weights")
+            from packppi_tpu.data.skempi import apply_mutations
+            rt_mut, _ = apply_mutations(prot, mutations)
+            wt = extractor(feats["residue_type"], feats["chain_indices"])
+            mt = extractor(rt_mut, feats["chain_indices"])
+        wt, mt = jnp.asarray(wt)[None], jnp.asarray(mt)[None]
+        if args.ckpt:
+            template = jax.eval_shape(
+                lambda: model.net.init(jax.random.key(0), None, None, wt, mt, None))
+            params = load_params(args.ckpt, template)
+        else:
+            print("WARNING: no --ckpt; using randomly initialized esm head")
+            params = model.net.init(key, None, None, wt, mt, None)
+        ddg, _ = model.predict_esm(params, wt, mt)
+        value = float(ddg[0])
+        print(f"Predicted ddG (kcal/mol): {value:.4f}")
+        outdir = Path(args.outdir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        (outdir / "ddg.json").write_text(json.dumps(
+            {"input": args.input, "mutstr": args.mutstr, "ddg_pred": value}))
+        return value
     k_bb, k_net = jax.random.split(key)
 
     if args.pre_ckpt:

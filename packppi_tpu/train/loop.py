@@ -169,8 +169,26 @@ def train_diffusion(cfg) -> dict:
         log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
         ckpt_mgr.save(int(state.step), state, metric=val_loss if np.isfinite(val_loss) else None)
 
+    # final held-out evaluation with the best checkpoint (reference:
+    # trainer.test on best ckpt, src/train_diffusion.py:74-86)
+    test_loss = float("nan")
+    if len(ds["test"]):
+        best = ckpt_mgr.best()
+        if best:
+            state = load_params(best, jax.eval_shape(lambda: state))
+        test_loader = BucketedLoader(ds["test"], global_batch, shuffle=False,
+                                     drop_last=False, prefetch=0)
+        tlosses = []
+        for batch in test_loader:
+            key, k_t = jax.random.split(key)
+            tlosses.append(eval_loss(state.params, k_t, batch))
+        test_loss = float(jnp.stack(tlosses).mean()) if tlosses else float("nan")
+        metrics_log.log(int(state.step), {"test/loss": test_loss})
+        log.info(f"test loss (best ckpt): {test_loss:.4f}")
+
     metrics_log.close()
-    return {"best_val_loss": best_val, "best_ckpt": ckpt_mgr.best(), "last_ckpt": ckpt_mgr.latest()}
+    return {"best_val_loss": best_val, "test_loss": test_loss,
+            "best_ckpt": ckpt_mgr.best(), "last_ckpt": ckpt_mgr.latest()}
 
 
 def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
