@@ -99,7 +99,12 @@ def load_config(path: str, overrides: Optional[list[str]] = None) -> Config:
             dot_over.append((key, val))
 
     for section, name in {**defaults, **group_over}.items():
-        group_file = config_dir / section / f"{name}.yaml"
+        # group files resolve relative to the config, walking up so
+        # experiment overlays in subdirectories share the root groups
+        for root in (config_dir, config_dir.parent, config_dir.parent.parent):
+            group_file = root / section / f"{name}.yaml"
+            if group_file.exists():
+                break
         merged[section] = yaml.safe_load(group_file.read_text()) or {}
 
     merged = _deep_merge(merged, raw)
