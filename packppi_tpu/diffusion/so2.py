@@ -99,7 +99,17 @@ def _build_tables(PI: float):
 
     n_images = max(12, int(np.ceil(8 * sigma[-1] / (2 * PI))) + 2)
     p, score = _density_and_score_xla(x, sigma, PI, n_images)
-    p, s = np.asarray(p), -np.asarray(score)
+    p, s = np.array(p), -np.array(score)  # writable host copies
+
+    # reference-tail parity: the reference builds tables in raw float64,
+    # where the density underflows to 0 for x far beyond sigma and the score
+    # becomes 0/eps = 0 (no force in zero-density regions; reference:
+    # src/models/components/schedule.py:51-52). Our stabilized summation
+    # stays exact there — zero it where the reference's f64 exp underflows.
+    base = 0.5 * (x[None, :].astype(np.float64) / sigma[:, None]) ** 2
+    underflow = base > 745.0
+    s[underflow] = 0.0
+    p[underflow] = 0.0
 
     # deterministic E[score^2] per sigma by quadrature over the period
     xs = np.linspace(-PI, PI, 2049)[1:-1]

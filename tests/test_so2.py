@@ -87,3 +87,34 @@ def test_step_correct_moves_toward_score():
     mask = jnp.ones((2, 16, 4), bool)
     out = sched.step_correct(key, x, score, mask)
     assert float(jnp.mean(out)) > 0  # drift follows the score on average
+
+
+def test_lookup_matches_reference_binning():
+    """Our lookups vs the reference's own table construction + log-binned
+    lookup code on identical (x, sigma) inputs (golden from the reference)."""
+    import os
+
+    from conftest import GOLDEN
+
+    path = os.path.join(GOLDEN, "so2_lookup_golden.npz")
+    z = np.load(path)
+    for name, pi_periodic in [("pi", True), ("2pi", False)]:
+        sched = SO2Schedule.create(pi_periodic=pi_periodic)
+        x = jnp.asarray(z["x"], jnp.float32)
+        sigma = jnp.asarray(z[f"sigma_{name}"], jnp.float32)
+
+        got = np.asarray(sched.tables.lookup_score(x, sigma), np.float64)
+        want = z[f"score_{name}"]
+        # identical binning; tolerance covers f32 vs f64 table construction
+        # and bin-edge rounding (a tiny fraction may land one bin over)
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1.0)
+        assert np.quantile(rel, 0.95) < 0.01
+        assert np.median(rel) < 1e-3
+
+        got_n = np.asarray(sched.tables.lookup_score_norm(sigma), np.float64)
+        want_n = z[f"score_norm_{name}"]
+        # reference score_norm is an UNSEEDED 10k-sample MC estimate; ours is
+        # deterministic quadrature — agreement within MC noise (~2%)
+        reln = np.abs(got_n - want_n) / np.maximum(np.abs(want_n), 1e-9)
+        assert np.median(reln) < 0.03
+        assert np.quantile(reln, 0.95) < 0.08
