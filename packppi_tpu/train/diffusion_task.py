@@ -23,6 +23,7 @@ class TrainState(NamedTuple):
     params: dict
     opt_state: tuple
     step: jnp.ndarray
+    key: jnp.ndarray  # PRNG state advances with the step -> exact resume
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-12) -> optax.GradientTransformation:
@@ -31,13 +32,16 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-12) -> optax.Gradi
 
 def init_state(model: TorsionalDiffusion, key, batch: ProteinBatch,
                optimizer: optax.GradientTransformation) -> TrainState:
-    params = model.init(key, batch)
-    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    k_init, k_train = jax.random.split(key)
+    params = model.init(k_init, batch)
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32),
+                      jax.random.key_data(k_train))
 
 
 def make_train_step(model: TorsionalDiffusion, optimizer: optax.GradientTransformation):
-    def train_step(state: TrainState, key, batch: ProteinBatch):
-        loss, grads = jax.value_and_grad(model.loss)(state.params, key, batch)
+    def train_step(state: TrainState, batch: ProteinBatch):
+        key, k_loss = jax.random.split(jax.random.wrap_key_data(state.key))
+        loss, grads = jax.value_and_grad(model.loss)(state.params, k_loss, batch)
         ok = jnp.isfinite(loss)
         grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -48,7 +52,8 @@ def make_train_step(model: TorsionalDiffusion, optimizer: optax.GradientTransfor
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape") else new,
             opt_state, state.opt_state)
-        return TrainState(params, opt_state, state.step + 1), loss
+        return TrainState(params, opt_state, state.step + 1,
+                          jax.random.key_data(key)), loss
 
     return train_step
 

@@ -141,8 +141,7 @@ def train_diffusion(cfg) -> dict:
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         losses = []
         for batch in loaders["train"]:
-            key, k_step = jax.random.split(key)
-            state, loss = train_step(state, k_step, batch)
+            state, loss = train_step(state, batch)
             losses.append(loss)
             if len(losses) % cfg.trainer.log_every_steps == 0:
                 metrics_log.log(int(state.step), {"train/loss": float(jnp.stack(losses[-cfg.trainer.log_every_steps:]).mean())})

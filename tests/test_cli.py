@@ -1,0 +1,57 @@
+"""In-process CLI smoke tests (small protein, few steps, CPU)."""
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from conftest import FIXTURES
+
+
+def test_pack_cli_runs(tmp_path):
+    from packppi_tpu.cli.pack import run
+
+    args = argparse.Namespace(
+        input=os.path.join(FIXTURES, "1brs.pdb"), outdir=str(tmp_path),
+        ckpt=None, use_proximal=False, seed=0, platform=None, n_steps=2,
+        molprobity_loc=None, exact_length=True, print_metrics=False,
+        batch_size=1)
+    metrics = run(args)
+    assert (tmp_path / "structure.pdb").exists()
+    assert (tmp_path / "metrics.json").exists()
+    assert 0 <= metrics["total_acc"] <= 1
+    assert np.isfinite(metrics["clashscore"])
+
+
+def test_ddg_cli_runs(tmp_path):
+    from packppi_tpu.cli.ddg import run
+
+    args = argparse.Namespace(
+        input=os.path.join(FIXTURES, "1brs.pdb"), mutstr="KA25A",
+        ckpt=None, pre_ckpt=None, mode="linear", outdir=str(tmp_path),
+        seed=0, platform=None, esm_dir=None, esm_key=None)
+    value = run(args)
+    assert np.isfinite(value)
+    assert (tmp_path / "ddg.json").exists()
+
+
+def test_prox_cli_rejects_backbone_only(tmp_path):
+    """A structure without side chains must be refused (reference asserts
+    side-chain presence; reference: src/proximal_optimize.py:17-27)."""
+    from packppi_tpu.cli.prox import run
+    from packppi_tpu.structure import from_pdb_file, to_pdb
+    import dataclasses
+
+    prot = from_pdb_file(os.path.join(FIXTURES, "1brs.pdb"), chain_id="D")
+    bb_mask = np.zeros_like(prot.atom_mask)
+    bb_mask[:, :4] = prot.atom_mask[:, :4]
+    bb_only = dataclasses.replace(prot, atom_mask=bb_mask)
+    pdb = tmp_path / "bb_only.pdb"
+    pdb.write_text(to_pdb(bb_only))
+
+    args = argparse.Namespace(
+        input=str(pdb), outdir=str(tmp_path), num_steps=2, lamda=1.0,
+        violation_tolerance_factor=12.0, clash_overlap_tolerance=0.5,
+        molprobity_loc=None, exact_length=True, platform=None)
+    with pytest.raises(SystemExit, match="side-chain"):
+        run(args)

@@ -111,8 +111,9 @@ def test_train_step_skips_nonfinite_loss():
     from packppi_tpu.train.diffusion_task import make_train_step
     step = make_train_step(FakeModel(), optimizer)
     params = {"w": jnp.ones(3)}
-    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
-    new_state, loss = step(state, jax.random.key(0), None)
+    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32),
+                       jax.random.key_data(jax.random.key(0)))
+    new_state, loss = step(state, None)
     assert not bool(jnp.isfinite(loss))
     np.testing.assert_array_equal(np.asarray(new_state.params["w"]), np.ones(3))
     assert int(new_state.step) == 1
