@@ -10,3 +10,7 @@ from packppi_tpu.ops.clash import (  # noqa: F401
     sc_violation_loss,
     within_residue_violations,
 )
+from packppi_tpu.ops.pallas_clash import (  # noqa: F401
+    between_residue_clash_pallas,
+    sc_clash_screen,
+)

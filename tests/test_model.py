@@ -81,3 +81,29 @@ def test_static_edge_cache_is_exact(model, params, small_batch):
     s2, h2 = model.apply(params, small_batch, small_batch.SC_D, t, static=static)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_vanilla_mpnn_variant(small_batch):
+    """use_ipmp=False selects the sum-pooled MPNN stack (reference's
+    non-geometric variant)."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+
+    model_v = TorsionalDiffusion.create(NC(use_ipmp=False), SampleConfig())
+    params = model_v.init(jax.random.key(0), small_batch)
+    t = jnp.zeros(small_batch.residue_mask.shape)
+    score, h = model_v.apply(params, small_batch, small_batch.SC_D, t)
+    assert score.shape == (*small_batch.residue_mask.shape, 4)
+    assert np.isfinite(np.asarray(score)).all()
+
+
+def test_gaussian_fourier_embedding():
+    from packppi_tpu.models.layers import GaussianFourierEmbedding
+
+    emb = GaussianFourierEmbedding(dim=16, scale=1.0)
+    t = jnp.linspace(0, 1, 8)
+    params = emb.init(jax.random.key(0), t)
+    out = emb.apply(params, t)
+    assert out.shape == (8, 16)
+    # frozen: no gradient flows into W
+    g = jax.grad(lambda p: emb.apply(p, t).sum())(params)
+    assert float(jnp.abs(g["params"]["W"]).max()) == 0.0
