@@ -34,6 +34,7 @@ class NetworkConfig:
     num_rbf: int = 16
     top_k: int = 32
     compute_dtype: str = "float32"  # "bfloat16" for the fast inference path
+    fused_messages: bool = False    # Pallas fused message kernel (inference)
 
 
 class ChiScoreNetwork(nn.Module):
@@ -61,6 +62,7 @@ class ChiScoreNetwork(nn.Module):
             use_ipmp=c.use_ipmp,
             k_neighbors=c.k_neighbors,
             dtype=dtype,
+            edge_dim=c.edge_features,
             name="MessagePassingStack_0",
         )
         self.dec1 = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2, dtype=dtype, name="MLP_0")
@@ -94,7 +96,8 @@ class ChiScoreNetwork(nn.Module):
         h_V = self.stack(
             h_V.astype(dtype) if dtype else h_V,
             h_E.astype(dtype) if dtype else h_E,
-            idx, batch.X, batch.residue_mask, deterministic)
+            idx, batch.X, batch.residue_mask, deterministic,
+            fused=c.fused_messages and deterministic)
 
         score = self.dec1(h_V)
         score = nn.relu(score)

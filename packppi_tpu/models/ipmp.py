@@ -10,6 +10,7 @@ fused XLA computation.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from packppi_tpu.geometry.rigid import Rigid, bb_frames_from_atom14, invert_apply, rigid_apply, scale_translation
@@ -21,6 +22,22 @@ def _norm(v, eps=1e-8):
     return jnp.sqrt(jnp.sum(v * v, -1) + eps)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense-compatible leaves (kernel [in, out],
+    optional bias) — lets both the jnp path and the fused Pallas kernel use
+    the same weights without wrapper modules."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                                 (self.in_dim, self.out_dim))
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+
+
 class FactoredMessageMLP(nn.Module):
     """First message layer factored by input origin.
 
@@ -28,27 +45,73 @@ class FactoredMessageMLP(nn.Module):
     followed by the rest of the MLP, but the h_i and h_j contributions are
     computed ONCE PER NODE ([L] matmuls) and broadcast/gathered per edge —
     only the edge-local part ([h_E | geometry], 200 wide instead of 456)
-    runs at [L*K] size. ~3.5x fewer first-layer FLOPs and 2.3x less
-    materialized edge-tensor traffic.
+    runs at [L*K] size.
+
+    ``fused=True`` routes through the Pallas kernel
+    (ops.pallas_ipmp.fused_message): the whole chain stays in VMEM, no HBM
+    intermediates (forward-only; inference path).
     """
 
     hidden_dim: int
+    edge_dim: int = 128
+    geom_dim: int = 72
     act: str = "relu"
     dtype: object = None
 
-    @nn.compact
-    def __call__(self, h_V, h_E, idx, geom):
-        from packppi_tpu.models.layers import _ACTS, Dense
+    def setup(self):
+        H = self.hidden_dim
+        self.Dense_i = _DenseParams(H, H, use_bias=False)
+        self.Dense_j = _DenseParams(H, H, use_bias=False)
+        self.Dense_e = _DenseParams(self.edge_dim + self.geom_dim, H)
+        self.Dense_1 = _DenseParams(H, H)
+        self.Dense_2 = _DenseParams(H, H)
 
-        per_i = Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="Dense_i")(h_V)
-        per_j = Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="Dense_j")(h_V)
-        edge_in = jnp.concatenate([h_E, geom.astype(h_E.dtype)], -1)
-        per_e = Dense(self.hidden_dim, dtype=self.dtype, name="Dense_e")(edge_in)
+    def _mm(self, x, kernel):
+        if self.dtype is not None:
+            return jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                           preferred_element_type=jnp.float32)
+        return jnp.dot(x, kernel)
+
+    def __call__(self, h_V, h_E, idx, geom, mask_attend=None,
+                 pool: bool = False, fused: bool = False,
+                 interpret: bool = False):
+        from packppi_tpu.models.layers import _ACTS
+
+        per_i = self._mm(h_V, self.Dense_i.kernel)
+        per_j = self._mm(h_V, self.Dense_j.kernel)
+
+        if fused:
+            from packppi_tpu.ops.pallas_ipmp import fused_message
+
+            He = self.edge_dim
+            pjg = gather_nodes(per_j, idx)
+            mask = (mask_attend if mask_attend is not None
+                    else jnp.ones(idx.shape, jnp.float32))
+            cd = self.dtype or jnp.float32
+
+            def one(pi, pj, he, gm, mk):
+                return fused_message(
+                    pi, pj, he, gm, mk,
+                    self.Dense_e.kernel[:He], self.Dense_e.kernel[He:],
+                    self.Dense_e.bias,
+                    self.Dense_1.kernel, self.Dense_1.bias,
+                    self.Dense_2.kernel, self.Dense_2.bias,
+                    K=idx.shape[-1], act_name=self.act, pool=pool,
+                    compute_dtype=cd, interpret=interpret)
+
+            return jax.vmap(one)(per_i, pjg, h_E, geom.astype(h_E.dtype), mask)
 
         act = _ACTS[self.act]
+        per_e = self._mm(jnp.concatenate([h_E, geom.astype(h_E.dtype)], -1),
+                         self.Dense_e.kernel) + self.Dense_e.bias
         x = act(per_i[:, :, None] + gather_nodes(per_j, idx) + per_e)
-        x = act(Dense(self.hidden_dim, dtype=self.dtype, name="Dense_1")(x))
-        return Dense(self.hidden_dim, dtype=self.dtype, name="Dense_2")(x)
+        x = act(self._mm(x, self.Dense_1.kernel) + self.Dense_1.bias)
+        x = self._mm(x, self.Dense_2.kernel) + self.Dense_2.bias
+        if pool:
+            if mask_attend is not None:
+                x = x * mask_attend[..., None]
+            x = jnp.mean(x, axis=-2)
+        return x
 
 
 class InvariantPointLayer(nn.Module):
@@ -59,6 +122,7 @@ class InvariantPointLayer(nn.Module):
     edge_update: bool = True
     position_scale: float = 1.0
     dtype: object = None  # message/FFN computation dtype (geometry stays f32)
+    edge_dim: int = 128
 
     def _geometry_features(self, h_V, idx, frames, points_fn):
         """[B, L, K, 9*n_points] frame-invariant point features: node i's
@@ -86,16 +150,15 @@ class InvariantPointLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask_V=None, mask_attend=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, fused: bool = False):
         frames = scale_translation(bb_frames_from_atom14(X), 1.0 / self.position_scale)
+        kw = dict(edge_dim=self.edge_dim, geom_dim=9 * self.n_points,
+                  act=self.act, dtype=self.dtype)
 
         points_node = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
         geom = self._geometry_features(h_V, idx, frames, points_node)
-        msg = FactoredMessageMLP(self.hidden_dim, act=self.act, dtype=self.dtype,
-                                 name="MLP_0")(h_V, h_E, idx, geom)
-        if mask_attend is not None:
-            msg = msg * mask_attend[..., None]
-        msg = jnp.mean(msg, axis=-2)
+        msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)(
+            h_V, h_E, idx, geom, mask_attend, pool=True, fused=fused)
 
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
         h_V = nn.LayerNorm()(h_V + drop(msg.astype(h_V.dtype)))
@@ -106,8 +169,8 @@ class InvariantPointLayer(nn.Module):
         if self.edge_update:
             points_edge = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
             geom = self._geometry_features(h_V, idx, frames, points_edge)
-            e_msg = FactoredMessageMLP(self.hidden_dim, act=self.act, dtype=self.dtype,
-                                       name="MLP_2")(h_V, h_E, idx, geom)
+            e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)(
+                h_V, h_E, idx, geom, mask_attend, pool=False, fused=fused)
             if mask_attend is not None:
                 e_msg = e_msg * mask_attend[..., None]
             h_E = nn.LayerNorm()(h_E + drop(e_msg.astype(h_E.dtype)))
@@ -168,9 +231,11 @@ class MessagePassingStack(nn.Module):
     use_ipmp: bool = True
     k_neighbors: int = 32
     dtype: object = None
+    edge_dim: int = 128
 
     @nn.compact
-    def __call__(self, h_V, h_E, idx, X, mask, deterministic: bool = True):
+    def __call__(self, h_V, h_E, idx, X, mask, deterministic: bool = True,
+                 fused: bool = False):
         mask_attend = gather_nodes(mask[..., None], idx).squeeze(-1)
         mask_attend = mask[..., None] * mask_attend
 
@@ -179,8 +244,8 @@ class MessagePassingStack(nn.Module):
                 h_V, h_E = InvariantPointLayer(
                     self.hidden_dim, self.n_points, self.dropout, self.act,
                     edge_update=True, position_scale=self.position_scale,
-                    dtype=self.dtype,
-                )(h_V, h_E, idx, X, mask, mask_attend, deterministic)
+                    dtype=self.dtype, edge_dim=self.edge_dim,
+                )(h_V, h_E, idx, X, mask, mask_attend, deterministic, fused)
             else:
                 h_V, h_E = VanillaMPNNLayer(
                     self.hidden_dim, self.dropout, self.act,

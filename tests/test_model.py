@@ -107,3 +107,32 @@ def test_gaussian_fourier_embedding():
     # frozen: no gradient flows into W
     g = jax.grad(lambda p: emb.apply(p, t).sum())(params)
     assert float(jnp.abs(g["params"]["W"]).max()) == 0.0
+
+
+def test_fused_messages_match_unfused(small_batch):
+    """The Pallas fused message path (interpret mode on CPU) must match the
+    unfused jnp path through the full network."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    from packppi_tpu.models.ipmp import FactoredMessageMLP
+    import functools
+    from unittest import mock
+
+    model_f = TorsionalDiffusion.create(NC(fused_messages=True), SampleConfig())
+    model_u = TorsionalDiffusion.create(NC(), SampleConfig())
+    params = model_u.init(jax.random.key(0), small_batch)
+    t = jnp.full(small_batch.residue_mask.shape, 0.3)
+
+    s_u, h_u = model_u.apply(params, small_batch, small_batch.SC_D, t)
+
+    # route the fused path through the interpreter (no TPU in tests)
+    orig = FactoredMessageMLP.__call__
+
+    def patched(self, *args, **kw):
+        kw["interpret"] = True
+        return orig(self, *args, **kw)
+
+    with mock.patch.object(FactoredMessageMLP, "__call__", patched):
+        s_f, h_f = model_f.apply(params, small_batch, small_batch.SC_D, t)
+
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_u), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=2e-5)
