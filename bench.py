@@ -43,9 +43,10 @@ def main() -> None:
     feats = featurize(from_pdb_file(fixture, mse_to_met=True))
     batch = stack_batch([feats])
 
-    # bf16 message/FFN compute (geometry stays f32): measured ~13% faster
-    # than f32 on v5e with ~0.5%-of-scale score deviation
-    model = TorsionalDiffusion.create(NetworkConfig(compute_dtype="bfloat16"), SampleConfig())
+    # bf16 message/FFN compute (geometry stays f32) + fused Pallas message
+    # kernel: measured 56ms (f32) -> 48ms (bf16) -> 45.5ms (fused) on v5e
+    model = TorsionalDiffusion.create(
+        NetworkConfig(compute_dtype="bfloat16", fused_messages=True), SampleConfig())
     params = model.init(jax.random.key(0), batch)
 
     def pack(params, key, batch):

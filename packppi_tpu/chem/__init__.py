@@ -8,7 +8,11 @@ metrics agree; the table construction code here is original and
 self-contained.
 """
 from packppi_tpu.chem.tables import (  # noqa: F401
+    ATOM7_GROUPS,
+    ATOM8_GROUPS,
     ATOM14_NAMES,
+    ATOM16_NAMES,
+    ATOM16_TYPES,
     ATOM37_TYPES,
     CHEM,
     NUM_ATOM14,
@@ -18,6 +22,11 @@ from packppi_tpu.chem.tables import (  # noqa: F401
     RESTYPE_3TO1,
     RESTYPE_ORDER,
     RESTYPES,
+    CG_ATOMS,
+    HBOND_ACCEPTORS_ATOM14,
+    HBOND_ACCEPTORS_ATOM37,
+    HBOND_DONORS_ATOM14,
+    HBOND_DONORS_ATOM37,
     ChemTables,
     make_atom14_dists_bounds,
     sc_atom14_mask,

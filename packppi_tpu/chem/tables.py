@@ -155,6 +155,38 @@ def _build_vdw_atom14():
     return r
 
 
+def _build_hbond_tables():
+    """Hydrogen-bond donor/acceptor masks in atom37 and atom14 layouts
+    (reference: src/utils/residue_constants.py:422-454)."""
+    donors = set(_RAW["hbond_donor_atoms"])
+    acceptors = set(_RAW["hbond_acceptor_atoms"])
+    d37 = np.array([1.0 if a in donors else 0.0 for a in ATOM37_TYPES], np.float32)
+    a37 = np.array([1.0 if a in acceptors else 0.0 for a in ATOM37_TYPES], np.float32)
+    d14 = np.zeros((NUM_RESTYPES + 1, NUM_ATOM14), np.float32)
+    a14 = np.zeros((NUM_RESTYPES + 1, NUM_ATOM14), np.float32)
+    for ri, resname in enumerate(_resnames()):
+        for i, a in enumerate(ATOM14_NAMES[resname]):
+            if a in donors:
+                d14[ri, i] = 1.0
+            if a in acceptors:
+                a14[ri, i] = 1.0
+    return d37, a37, d14, a14
+
+
+# hydrogen-bond chemistry (atom37-indexed and atom14-indexed masks)
+(HBOND_DONORS_ATOM37, HBOND_ACCEPTORS_ATOM37,
+ HBOND_DONORS_ATOM14, HBOND_ACCEPTORS_ATOM14) = _build_hbond_tables()
+
+# coarse-grained atom groupings per residue (reference: residue_constants.py:356-377)
+CG_ATOMS: dict[str, list[list[str]]] = _RAW["cg_atoms"]
+
+# alternate compact encodings (reference: residue_constants.py:379-401)
+ATOM16_TYPES: list[str] = _RAW["atom16_types"]
+ATOM16_NAMES: dict[str, list[str]] = _RAW["atom16_names"]
+ATOM7_GROUPS = np.asarray(_RAW["atom7_groups"], np.int32)
+ATOM8_GROUPS = np.asarray(_RAW["atom8_groups"], np.int32)
+
+
 @functools.lru_cache(maxsize=None)
 def _virtual_bonds():
     """Bond-angle records turned into 1-3 atom distances via the law of

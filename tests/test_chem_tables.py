@@ -47,3 +47,20 @@ def test_vdw_radius(golden_chem):
 def test_x_row_is_zero():
     assert CHEM.atom14_mask[20].sum() == 0
     assert CHEM.chi_mask[20].sum() == 0
+
+
+def test_hbond_and_aux_tables():
+    from packppi_tpu.chem import (ATOM7_GROUPS, ATOM8_GROUPS, ATOM16_TYPES,
+                                  CG_ATOMS, HBOND_ACCEPTORS_ATOM14,
+                                  HBOND_DONORS_ATOM14, RESTYPE_ORDER)
+
+    ser = RESTYPE_ORDER["S"]
+    # SER OG (slot 5) is both donor and acceptor
+    assert HBOND_DONORS_ATOM14[ser, 5] == 1.0
+    assert HBOND_ACCEPTORS_ATOM14[ser, 5] == 1.0
+    # backbone N donates, O accepts, CA does neither
+    assert HBOND_DONORS_ATOM14[ser, 0] == 1.0
+    assert HBOND_ACCEPTORS_ATOM14[ser, 3] == 1.0
+    assert HBOND_DONORS_ATOM14[ser, 1] == 0.0
+    assert len(CG_ATOMS) == 20 and len(ATOM16_TYPES) == 16
+    assert ATOM7_GROUPS.shape == (5, 7) and ATOM8_GROUPS.shape == (5, 8)

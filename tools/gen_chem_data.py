@@ -78,6 +78,15 @@ def main() -> None:
             res: [[a.atom1_name, a.atom2_name, a.atom3name, float(a.angle_rad), float(a.stddev)] for a in angs]
             for res, angs in bond_angles.items()
         },
+        # hydrogen-bond chemistry + coarse-grained groupings + alternate
+        # compact encodings (reference: src/utils/residue_constants.py:356-401,422-454)
+        "hbond_donor_atoms": rc.hbond_donor_atoms,
+        "hbond_acceptor_atoms": rc.hbond_acceptor_atoms,
+        "cg_atoms": rc.cg_atoms,
+        "atom16_types": rc.atom16,
+        "atom16_names": rc.restype_name_to_atom16_names,
+        "atom7_groups": rc.atom7,
+        "atom8_groups": rc.atom8,
     }
 
     out = REPO_ROOT / "packppi_tpu" / "chem" / "chem_data.json"
