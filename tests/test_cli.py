@@ -15,7 +15,7 @@ def test_pack_cli_runs(tmp_path):
         input=os.path.join(FIXTURES, "1brs.pdb"), outdir=str(tmp_path),
         ckpt=None, use_proximal=False, seed=0, platform=None, n_steps=2,
         molprobity_loc=None, exact_length=True, print_metrics=False,
-        batch_size=1)
+        batch_size=1, precision="float32", no_fused=True)
     metrics = run(args)
     assert (tmp_path / "structure.pdb").exists()
     assert (tmp_path / "metrics.json").exists()
