@@ -16,6 +16,20 @@ from pathlib import Path
 import numpy as np
 
 
+def _merge_output_structure(prot, feats, batch, coords, L):
+    """Rebuilt coordinates for modeled residues; residues the model cannot
+    represent (incomplete backbone -> residue_mask 0) pass through unchanged
+    so the output keeps the input's residue count."""
+    import numpy as np
+    import dataclasses
+
+    rm = feats["residue_mask"].astype(bool)
+    pos = np.where(rm[:, None, None], np.asarray(coords[0, :L]),
+                   np.nan_to_num(prot.atom_positions))
+    mask = np.where(rm[:, None], np.asarray(batch.atom_mask[0, :L]), prot.atom_mask)
+    return dataclasses.replace(prot, atom_positions=pos, atom_mask=mask)
+
+
 def build_parser():
     p = argparse.ArgumentParser(description="PackPPI-TPU proximal clash optimization")
     p.add_argument("--input", required=True, help="input PDB with side chains")
@@ -70,11 +84,7 @@ def run(args) -> dict:
 
     coords = atom14_coords_from_torsions(batch.X, batch.residue_type, batch.BB_D, sc_final)
     L = len(feats["residue_type"])
-    out_prot = dataclasses.replace(
-        prot,
-        atom_positions=np.asarray(coords[0, :L]),
-        atom_mask=np.asarray(batch.atom_mask[0, :L]),
-    )
+    out_prot = _merge_output_structure(prot, feats, batch, coords, L)
     out_pdb = outdir / "structure.pdb"
     out_pdb.write_text(to_pdb(out_prot))
 
