@@ -101,7 +101,9 @@ def train_diffusion(cfg) -> dict:
     global_batch = cfg.data.batch_size * max(1, n_devices // cfg.trainer.model_parallel)
     loaders = {
         "train": BucketedLoader(ds["train"], global_batch, shuffle=True, seed=cfg.seed, drop_last=True),
-        "val": BucketedLoader(ds["val"], global_batch, shuffle=False, drop_last=False, prefetch=0),
+        # sharded batches must stay divisible by the data axis
+        "val": BucketedLoader(ds["val"], global_batch, shuffle=False,
+                              drop_last=(n_devices > 1), prefetch=0),
     }
     log.info(f"data: {len(ds['train'])} train / {len(ds['val'])} val / {len(ds['test'])} test complexes")
 
@@ -121,7 +123,11 @@ def train_diffusion(cfg) -> dict:
 
     key = jax.random.key(cfg.seed)
     key, k_init = jax.random.split(key)
-    init_batch = next(iter(loaders["val"])) if len(ds["val"]) else next(iter(loaders["train"]))
+    init_batch = next(iter(loaders["val"]), None)
+    if init_batch is None:
+        init_batch = next(iter(loaders["train"]), None)
+    if init_batch is None:
+        raise SystemExit("no full batch available; lower data.batch_size")
     state = init_state(model, k_init, init_batch, optimizer)
 
     ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
@@ -132,16 +138,48 @@ def train_diffusion(cfg) -> dict:
         state = load_params(resume, jax.eval_shape(lambda: state))
         start_epoch = int(state.step) // max(1, len(loaders["train"]))
 
-    train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
-    eval_loss = jax.jit(model.loss)
-    sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=cfg.sample.n_diffusion_steps))
+    if n_devices > 1:
+        # SPMD: batch over 'data' (ICI all-reduce on grads), large kernels
+        # FSDP-sharded over 'model'
+        from packppi_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated
+
+        mesh = make_mesh(n_devices, model_parallel=cfg.trainer.model_parallel)
+        log.info(f"mesh: {dict(mesh.shape)}")
+        p_shard = param_shardings(mesh, state.params)
+        state_shard = type(state)(
+            params=p_shard,
+            opt_state=jax.tree.map(
+                lambda x: param_shardings(mesh, x) if isinstance(x, dict) else replicated(mesh),
+                state.opt_state, is_leaf=lambda x: isinstance(x, dict)),
+            step=replicated(mesh),
+            key=replicated(mesh),
+        )
+        b_shard = jax.tree.map(lambda _: batch_sharding(mesh), init_batch)
+        state = jax.device_put(state, state_shard)
+        put_batch = lambda b: jax.device_put(b, b_shard)
+        train_step = jax.jit(make_train_step(model, optimizer),
+                             in_shardings=(state_shard, b_shard),
+                             out_shardings=(state_shard, replicated(mesh)),
+                             donate_argnums=(0,))
+        eval_loss = jax.jit(model.loss,
+                            in_shardings=(p_shard, replicated(mesh), b_shard),
+                            out_shardings=replicated(mesh))
+        sample_fn = jax.jit(
+            lambda p, k, b: model.sample(p, k, b, n_steps=cfg.sample.n_diffusion_steps),
+            in_shardings=(p_shard, replicated(mesh), b_shard),
+            out_shardings=batch_sharding(mesh))
+    else:
+        put_batch = lambda b: b
+        train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
+        eval_loss = jax.jit(model.loss)
+        sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=cfg.sample.n_diffusion_steps))
 
     # ---- epochs -------------------------------------------------------------
     best_val = float("inf")
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         losses = []
         for batch in loaders["train"]:
-            state, loss = train_step(state, batch)
+            state, loss = train_step(state, put_batch(batch))
             losses.append(loss)
             if len(losses) % cfg.trainer.log_every_steps == 0:
                 metrics_log.log(int(state.step), {"train/loss": float(jnp.stack(losses[-cfg.trainer.log_every_steps:]).mean())})
@@ -152,18 +190,19 @@ def train_diffusion(cfg) -> dict:
             vlosses = []
             for batch in loaders["val"]:
                 key, k_v = jax.random.split(key)
-                vlosses.append(eval_loss(state.params, k_v, batch))
-            val_loss = float(jnp.stack(vlosses).mean())
-            best_val = min(best_val, val_loss)
+                vlosses.append(eval_loss(state.params, k_v, put_batch(batch)))
+            val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
+            best_val = min(best_val, val_loss) if vlosses else best_val
             metrics_log.log(int(state.step), {"val/loss": val_loss, "train/loss_epoch": train_loss})
 
             if cfg.sample.sample_during_training and (epoch + 1) % cfg.sample.eval_epochs == 0:
-                batch = next(iter(loaders["val"]))
-                key, k_s = jax.random.split(key)
-                sc = sample_fn(state.params, k_s, batch)
-                m = chi_metrics(batch.SC_D, np.asarray(sc), batch.SC_D_mask,
-                                batch.chi_1pi_periodic_mask)
-                metrics_log.log(int(state.step), m, prefix="val/")
+                batch = next(iter(loaders["val"]), None)
+                if batch is not None:
+                    key, k_s = jax.random.split(key)
+                    sc = sample_fn(state.params, k_s, put_batch(batch))
+                    m = chi_metrics(batch.SC_D, np.asarray(sc), batch.SC_D_mask,
+                                    batch.chi_1pi_periodic_mask)
+                    metrics_log.log(int(state.step), m, prefix="val/")
 
         log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
         ckpt_mgr.save(int(state.step), state, metric=val_loss if np.isfinite(val_loss) else None)
@@ -176,11 +215,11 @@ def train_diffusion(cfg) -> dict:
         if best:
             state = load_params(best, jax.eval_shape(lambda: state))
         test_loader = BucketedLoader(ds["test"], global_batch, shuffle=False,
-                                     drop_last=False, prefetch=0)
+                                     drop_last=(n_devices > 1), prefetch=0)
         tlosses = []
         for batch in test_loader:
             key, k_t = jax.random.split(key)
-            tlosses.append(eval_loss(state.params, k_t, batch))
+            tlosses.append(eval_loss(state.params, k_t, put_batch(batch)))
         test_loss = float(jnp.stack(tlosses).mean()) if tlosses else float("nan")
         metrics_log.log(int(state.step), {"test/loss": test_loss})
         log.info(f"test loss (best ckpt): {test_loss:.4f}")
