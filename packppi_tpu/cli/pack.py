@@ -20,9 +20,6 @@ def _merge_output_structure(prot, feats, batch, coords, L):
     """Rebuilt coordinates for modeled residues; residues the model cannot
     represent (incomplete backbone -> residue_mask 0) pass through unchanged
     so the output keeps the input's residue count."""
-    import numpy as np
-    import dataclasses
-
     rm = feats["residue_mask"].astype(bool)
     pos = np.where(rm[:, None, None], np.asarray(coords[0, :L]),
                    np.nan_to_num(prot.atom_positions))
@@ -57,7 +54,6 @@ def run(args) -> dict:
     from packppi_tpu.utils.platform import configure_platform
     configure_platform(getattr(args, "platform", None))
     import jax
-    import jax.numpy as jnp
 
     from packppi_tpu.data import stack_batch
     from packppi_tpu.geometry import atom14_coords_from_torsions
@@ -65,7 +61,7 @@ def run(args) -> dict:
     from packppi_tpu.sampling import proximal_optimize
     from packppi_tpu.structure import from_pdb_file, to_pdb
     from packppi_tpu.structure.featurize import featurize
-    from packppi_tpu.train import load_params, save_params
+    from packppi_tpu.train import load_params
     from packppi_tpu.utils.analysis import ProteinAnalysis
 
     outdir = Path(args.outdir)

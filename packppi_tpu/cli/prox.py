@@ -20,9 +20,6 @@ def _merge_output_structure(prot, feats, batch, coords, L):
     """Rebuilt coordinates for modeled residues; residues the model cannot
     represent (incomplete backbone -> residue_mask 0) pass through unchanged
     so the output keeps the input's residue count."""
-    import numpy as np
-    import dataclasses
-
     rm = feats["residue_mask"].astype(bool)
     pos = np.where(rm[:, None, None], np.asarray(coords[0, :L]),
                    np.nan_to_num(prot.atom_positions))

@@ -7,7 +7,6 @@ configs/callbacks/default.yaml:8-15)
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import orbax.checkpoint as ocp
