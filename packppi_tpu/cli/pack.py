@@ -87,6 +87,8 @@ def run(args) -> dict:
 
     t0 = time.perf_counter()
     sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=args.n_steps))
+    coords_fn = jax.jit(lambda b, sc: atom14_coords_from_torsions(
+        b.X, b.residue_type, b.BB_D, sc))
     key, k_sample = jax.random.split(key)
     sc_sample = sample_fn(params, k_sample, batch)
     sc_sample.block_until_ready()
@@ -106,7 +108,7 @@ def run(args) -> dict:
         else:
             print("proximal refinement did not reduce the objective; keeping the sample")
 
-    coords = atom14_coords_from_torsions(batch.X, batch.residue_type, batch.BB_D, sc_sample)
+    coords = coords_fn(batch, sc_sample)
     L = len(feats["residue_type"])
     out_prot = _merge_output_structure(prot, feats, batch, coords, L)
     out_pdb = outdir / "structure.pdb"
@@ -171,6 +173,8 @@ def run_directory(args) -> list:
         params = model.init(k_init, init_batch)
 
     sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=args.n_steps))
+    coords_fn = jax.jit(lambda b, sc: atom14_coords_from_torsions(
+        b.X, b.residue_type, b.BB_D, sc))
 
     by_bucket: dict[int, list[int]] = {}
     for i, f in enumerate(feats):
@@ -184,8 +188,7 @@ def run_directory(args) -> list:
             batch = stack_batch([feats[i] for i in chunk], target_len=bucket)
             key, k = jax.random.split(key)
             sc = sample_fn(params, k, batch)
-            coords = atom14_coords_from_torsions(batch.X, batch.residue_type,
-                                                 batch.BB_D, sc)
+            coords = np.asarray(coords_fn(batch, sc))
             for row, i in enumerate(chunk):
                 path, prot = proteins[i]
                 L = len(feats[i]["residue_type"])

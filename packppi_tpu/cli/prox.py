@@ -79,7 +79,8 @@ def run(args) -> dict:
     if not accepted:
         print("objective did not decrease; keeping input conformation")
 
-    coords = atom14_coords_from_torsions(batch.X, batch.residue_type, batch.BB_D, sc_final)
+    coords = jax.jit(lambda b, sc: atom14_coords_from_torsions(
+        b.X, b.residue_type, b.BB_D, sc))(batch, sc_final)
     L = len(feats["residue_type"])
     out_prot = _merge_output_structure(prot, feats, batch, coords, L)
     out_pdb = outdir / "structure.pdb"

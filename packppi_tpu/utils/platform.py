@@ -30,6 +30,7 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # tunnel-compiled ops cost ~0.5s each regardless of size; cache all
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass
