@@ -355,12 +355,14 @@ def train_affinity(cfg) -> dict:
             np.savez_compressed(cache, **feats)
             return feats
 
+    n_devices = cfg.trainer.n_devices or jax.device_count()
+    global_batch = cfg.data.batch_size * max(1, n_devices)
     loaders = {
-        "train": BucketedLoader(SkempiDataset(splits["train"]), cfg.data.batch_size,
+        "train": BucketedLoader(SkempiDataset(splits["train"]), global_batch,
                                 shuffle=True, seed=cfg.seed, drop_last=True,
                                 stack_fn=stack_affinity_batch),
-        "val": BucketedLoader(SkempiDataset(splits["valid"]), cfg.data.batch_size,
-                              shuffle=False, drop_last=False, prefetch=0,
+        "val": BucketedLoader(SkempiDataset(splits["valid"]), global_batch,
+                              shuffle=False, drop_last=(n_devices > 1), prefetch=0,
                               stack_fn=stack_affinity_batch),
     }
 
@@ -386,8 +388,7 @@ def train_affinity(cfg) -> dict:
     opt_state = optimizer.init(params)
     step = 0
 
-    @jax.jit
-    def train_step(params, opt_state, key, batch):
+    def _train_step(params, opt_state, key, batch):
         loss, grads = jax.value_and_grad(
             lambda p: model.loss(p, backbone_params, key, batch))(params)
         ok = jnp.isfinite(loss)
@@ -395,8 +396,30 @@ def train_affinity(cfg) -> dict:
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    eval_step = jax.jit(lambda p, k, b: model.loss(p, backbone_params, k, b))
-    predict = jax.jit(lambda p, b: model.predict(p, backbone_params, b)[0])
+    if n_devices > 1:
+        # data-parallel: mutation batches shard over 'data'; the (small)
+        # affinity params and frozen backbone replicate
+        from packppi_tpu.parallel import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(n_devices, model_parallel=1)
+        log.info(f"mesh: {dict(mesh.shape)}")
+        rep = replicated(mesh)
+        b_shard = jax.tree.map(lambda _: batch_sharding(mesh), init_batch)
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(opt_state, rep)
+        put_batch = lambda b: jax.device_put(b, b_shard)
+        train_step = jax.jit(_train_step,
+                             in_shardings=(rep, rep, rep, b_shard),
+                             out_shardings=(rep, rep, rep))
+        eval_step = jax.jit(lambda p, k, b: model.loss(p, backbone_params, k, b),
+                            in_shardings=(rep, rep, b_shard), out_shardings=rep)
+        predict = jax.jit(lambda p, b: model.predict(p, backbone_params, b)[0],
+                          in_shardings=(rep, b_shard), out_shardings=batch_sharding(mesh))
+    else:
+        put_batch = lambda b: b
+        train_step = jax.jit(_train_step)
+        eval_step = jax.jit(lambda p, k, b: model.loss(p, backbone_params, k, b))
+        predict = jax.jit(lambda p, b: model.predict(p, backbone_params, b)[0])
 
     ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
     best_val = float("inf")
@@ -404,7 +427,7 @@ def train_affinity(cfg) -> dict:
         losses = []
         for batch in loaders["train"]:
             key, k = jax.random.split(key)
-            params, opt_state, loss = train_step(params, opt_state, k, batch)
+            params, opt_state, loss = train_step(params, opt_state, k, put_batch(batch))
             losses.append(loss)
             step += 1
         train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
@@ -412,8 +435,9 @@ def train_affinity(cfg) -> dict:
         vlosses, preds, labels = [], [], []
         for batch in loaders["val"]:
             key, k = jax.random.split(key)
-            vlosses.append(eval_step(params, k, batch))
-            preds.append(np.asarray(predict(params, batch)))
+            sb = put_batch(batch)
+            vlosses.append(eval_step(params, k, sb))
+            preds.append(np.asarray(predict(params, sb)))
             labels.append(np.asarray(batch.ddg))
         val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
         best_val = min(best_val, val_loss)
