@@ -86,3 +86,25 @@ class ComplexDataset:
     def lengths(self) -> list[int]:
         """Residue counts (parses/caches on first call) for bucketing."""
         return [len(self[i]["residue_type"]) for i in range(len(self))]
+
+    def filtered(self) -> "ComplexDataset":
+        """Drop entries outside len_region (parses everything once; results
+        are cached). Mirrors the reference datamodule's length filter
+        (reference: configs/datamodule/complexData.yaml:11)."""
+        keep = []
+        for code in self.entries:
+            try:
+                feats = featurize(from_pdb_file(self.pdb_path(code), mse_to_met=True))
+            except Exception as e:
+                print(f"skipping {code}: parse failed ({e})")
+                continue
+            L = len(feats["residue_type"])
+            if self.len_region[0] <= L <= self.len_region[1]:
+                keep.append(code)
+                if self.cache_dir and not (self.cache_dir / f"{code}.npz").exists():
+                    np.savez_compressed(self.cache_dir / f"{code}.npz", **feats)
+            else:
+                print(f"skipping {code}: {L} residues outside {self.len_region}")
+        return ComplexDataset(str(self.pdb_dir), keep,
+                              cache_dir=str(self.cache_dir) if self.cache_dir else None,
+                              suffix=self.suffix, len_region=self.len_region)

@@ -94,7 +94,8 @@ def train_diffusion(cfg) -> dict:
                            split_file=str(out / "split.json"))
     cache = Path(cfg.data.data_dir) / cfg.data.cache_dir
     ds = {k: ComplexDataset(cfg.data.data_dir, v, cache_dir=str(cache),
-                            suffix=cfg.data.pdb_suffix, len_region=cfg.data.len_region)
+                            suffix=cfg.data.pdb_suffix,
+                            len_region=cfg.data.len_region).filtered()
           for k, v in splits.items()}
 
     n_devices = cfg.trainer.n_devices or jax.device_count()

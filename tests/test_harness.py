@@ -131,3 +131,19 @@ def test_time_limit():
     with _pytest.raises(TimeoutError):
         with time_limit(1):
             time.sleep(2)
+
+
+def test_complex_dataset_length_filter(tmp_path):
+    import shutil
+
+    from packppi_tpu.data.complex import ComplexDataset
+
+    src = os.path.join(os.path.dirname(__file__), "fixtures", "1brs.pdb")
+    shutil.copy(src, tmp_path / "ok_rc.pdb")
+    shutil.copy(src, tmp_path / "toobig_rc.pdb")
+    ds = ComplexDataset(str(tmp_path), ["ok", "toobig"],
+                        cache_dir=str(tmp_path / "cache"), len_region=(10, 3000))
+    assert len(ds.filtered()) == 2
+    ds_small = ComplexDataset(str(tmp_path), ["ok", "toobig"],
+                              cache_dir=str(tmp_path / "cache2"), len_region=(10, 100))
+    assert len(ds_small.filtered()) == 0
