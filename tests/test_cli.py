@@ -55,3 +55,31 @@ def test_prox_cli_rejects_backbone_only(tmp_path):
         molprobity_loc=None, exact_length=True, platform=None)
     with pytest.raises(SystemExit, match="side-chain"):
         run(args)
+
+
+def test_pack_cli_with_converted_checkpoint(tmp_path):
+    """Full migration flow: reference-layout torch weights -> converter ->
+    orbax checkpoint -> pack CLI --ckpt."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from convert_checkpoint import convert_diffusion_state_dict
+
+    from conftest import GOLDEN
+    from packppi_tpu.cli.pack import run
+    from packppi_tpu.train import save_params
+
+    z = np.load(os.path.join(GOLDEN, "network_golden.npz"))
+    sd = {k[4:]: z[k] for k in z.files if k.startswith("sd::")}
+    params = convert_diffusion_state_dict(sd)
+    ckpt_dir = tmp_path / "converted_ckpt"
+    save_params(str(ckpt_dir), params)
+
+    args = argparse.Namespace(
+        input=os.path.join(FIXTURES, "1brs.pdb"), outdir=str(tmp_path / "out"),
+        ckpt=str(ckpt_dir), use_proximal=False, seed=0, platform=None, n_steps=2,
+        molprobity_loc=None, exact_length=True, print_metrics=False,
+        batch_size=1, precision="float32", no_fused=True)
+    metrics = run(args)
+    assert (tmp_path / "out" / "structure.pdb").exists()
+    assert np.isfinite(metrics["atom_rmsd"])
