@@ -16,6 +16,9 @@ import numpy as np
 
 from packppi_tpu.structure.featurize import featurize
 from packppi_tpu.structure.protein import from_pdb_file
+from packppi_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 
 def scan_complex_dir(path: str, suffix: str = "_rc",
@@ -96,7 +99,7 @@ class ComplexDataset:
             try:
                 feats = featurize(from_pdb_file(self.pdb_path(code), mse_to_met=True))
             except Exception as e:
-                print(f"skipping {code}: parse failed ({e})")
+                log.warning(f"skipping {code}: parse failed ({e})")
                 continue
             L = len(feats["residue_type"])
             if self.len_region[0] <= L <= self.len_region[1]:
@@ -104,7 +107,7 @@ class ComplexDataset:
                 if self.cache_dir and not (self.cache_dir / f"{code}.npz").exists():
                     np.savez_compressed(self.cache_dir / f"{code}.npz", **feats)
             else:
-                print(f"skipping {code}: {L} residues outside {self.len_region}")
+                log.warning(f"skipping {code}: {L} residues outside {self.len_region}")
         return ComplexDataset(str(self.pdb_dir), keep,
                               cache_dir=str(self.cache_dir) if self.cache_dir else None,
                               suffix=self.suffix, len_region=self.len_region)

@@ -21,6 +21,9 @@ from packppi_tpu.chem import ATOM14_NAMES, CHEM, RESTYPE_1TO3, RESTYPES
 from packppi_tpu.data.batch import ProteinBatch, bucket_length, pad_features
 from packppi_tpu.structure.featurize import featurize, sc_dihedrals
 from packppi_tpu.structure.protein import Protein
+from packppi_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 RT_KCAL = (8.314 / 4184) * (273.15 + 25.0)
 
@@ -105,11 +108,11 @@ def apply_mutations(protein: Protein, mutations: list[dict], strict: bool = True
 
     for mut in mutations:
         if mut["chain"] not in chains or mut["mt"] not in RESTYPES:
-            print(f"ignoring mutation {mut['name']}: chain or type not applicable")
+            log.warning(f"ignoring mutation {mut['name']}: chain or type not applicable")
             continue
         sel = (chains == mut["chain"]) & (protein.residue_index == mut["resseq"])
         if not sel.any():
-            print(f"ignoring mutation {mut['name']}: residue not found")
+            log.warning(f"ignoring mutation {mut['name']}: residue not found")
             continue
         wt_found = RESTYPES[int(protein.aaindex[sel][0])]
         if wt_found != mut["wt"]:
@@ -117,7 +120,7 @@ def apply_mutations(protein: Protein, mutations: list[dict], strict: bool = True
                    f"wild-type {wt_found}")
             if strict:
                 raise ValueError(msg)
-            print("WARNING: " + msg)
+            log.warning(msg)
             continue
         mt_idx = RESTYPES.index(mut["mt"])
         residue_type_mut[sel] = mt_idx

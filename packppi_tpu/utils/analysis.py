@@ -19,7 +19,10 @@ import numpy as np
 from packppi_tpu.structure.featurize import featurize
 from packppi_tpu.structure.interface import interface_residue_mask
 from packppi_tpu.structure.protein import from_pdb_file
+from packppi_tpu.utils.logging import get_logger
 from packppi_tpu.utils.metrics import approx_clashscore, chi_metrics, mean_squared_atom_deviation
+
+log = get_logger(__name__)
 
 
 class ProteinAnalysis:
@@ -62,7 +65,7 @@ class ProteinAnalysis:
         ft = featurize(true_prot)
         fp = featurize(pred_prot)
         if ft["X"].shape[0] != fp["X"].shape[0]:
-            print("residue count mismatch between true and predicted structures")
+            log.warning("residue count mismatch between true and predicted structures")
             return None
 
         interface = interface_residue_mask(true_prot) * ft["residue_mask"]
