@@ -8,7 +8,6 @@ evaluation never blocks on a missing binary.
 """
 from __future__ import annotations
 
-import os
 import re
 import subprocess
 from pathlib import Path
