@@ -83,3 +83,16 @@ def test_pack_cli_with_converted_checkpoint(tmp_path):
     metrics = run(args)
     assert (tmp_path / "out" / "structure.pdb").exists()
     assert np.isfinite(metrics["atom_rmsd"])
+
+
+def test_pack_cli_best_of_n(tmp_path):
+    from packppi_tpu.cli.pack import run
+
+    args = argparse.Namespace(
+        input=os.path.join(FIXTURES, "1brs.pdb"), outdir=str(tmp_path),
+        ckpt=None, use_proximal=False, seed=0, platform=None, n_steps=2,
+        molprobity_loc=None, exact_length=True, print_metrics=False,
+        batch_size=1, precision="float32", no_fused=True, n_samples=3)
+    metrics = run(args)
+    assert (tmp_path / "structure.pdb").exists()
+    assert np.isfinite(metrics["clashscore"])
