@@ -75,3 +75,17 @@ def test_proximal_reduces_clash_on_perturbed_chis(t1124):
     # untouched chis stay identical
     keep = ~np.asarray(res.clash_mask)
     np.testing.assert_array_equal(np.asarray(res.SC_D)[keep], np.asarray(sc_bad)[keep])
+
+
+def test_proximal_supports_batches(t1124):
+    """Unlike the reference (asserts num_proteins == 1), proximal
+    optimization runs on B > 1 batches."""
+    short = {k: v[:64] for k, v in t1124.items()}
+    batch = stack_batch([short, short], target_len=64)
+    rng = np.random.default_rng(1)
+    bad = jnp.asarray(np.asarray(batch.SC_D)
+                      + rng.normal(0, 0.7, batch.SC_D.shape).astype(np.float32)
+                      * np.asarray(batch.SC_D_mask))
+    res = proximal_optimize(batch, bad, num_steps=5)
+    assert res.SC_D.shape == batch.SC_D.shape
+    assert float(res.losses[-1]) < float(res.losses[0])

@@ -100,3 +100,16 @@ def test_pdb_roundtrip(t1124_feats):
     np.testing.assert_array_equal(prot.residue_index, prot2.residue_index)
     m = prot.atom_mask.astype(bool)
     np.testing.assert_allclose(prot.atom_positions[m], prot2.atom_positions[m], atol=1.5e-3)
+
+
+def test_bb_dihedrals_match_reference(t1124_feats, golden_geom):
+    """Backbone dihedrals incl. the pre-omega column reorder and its mask
+    overwrite quirk (golden replicates reference helper.calc_bb_dihedrals)."""
+    g = dict(np.load(os.path.join(GOLDEN, "bb_dihedrals_golden.npz")))
+    np.testing.assert_allclose(np.nan_to_num(t1124_feats["BB_D"])
+                               * t1124_feats["residue_mask"][:, None],
+                               g["bb_d"] * t1124_feats["residue_mask"][:, None],
+                               atol=1e-4)
+    np.testing.assert_array_equal(
+        t1124_feats["BB_D_mask"] * t1124_feats["residue_mask"][:, None],
+        g["bb_mask"] * t1124_feats["residue_mask"][:, None])

@@ -115,3 +115,63 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def gen_bb_golden():
+    """Golden for backbone dihedrals: replicate the reference's
+    calc_bb_dihedrals (reference: src/datamodules/components/helper.py:39-74)
+    in torch on identical inputs."""
+    import torch.nn.functional as F
+
+    load_reference_modules()
+    from packppi_tpu.structure import from_pdb_file
+    from packppi_tpu.structure.featurize import featurize
+
+    prot = from_pdb_file(REPO_ROOT / "tests/fixtures/t1124.pdb", mse_to_met=True)
+    feats = featurize(prot)
+    X = torch.from_numpy(prot.atom_positions).float()
+    # the reference computes dihedral adjacency BEFORE residue-mask zeroing,
+    # so feed the offset-but-unmasked index (featurize does the same inside)
+    from packppi_tpu.structure.featurize import apply_chain_residue_offsets
+    import numpy as _np
+    chains = _np.asarray(prot.chain_id)
+    _, first = _np.unique(chains, return_index=True)
+    order = chains[_np.sort(first)]
+    cmap = {c: i + 1 for i, c in enumerate(order)}
+    cidx = _np.array([cmap[c] for c in chains], _np.int64)
+    ridx_raw = apply_chain_residue_offsets(prot.residue_index.astype(_np.int64), cidx)
+    residue_index = torch.from_numpy(ridx_raw).long()
+
+    def _norm(t):
+        return torch.nan_to_num(torch.div(t, torch.norm(t, dim=-1, keepdim=True)))
+
+    def calc_dihedrals(p, eps=1e-8):
+        uvecs = _norm(p[..., 1:, :] - p[..., :-1, :])
+        uvec_2, uvec_1, uvec_0 = uvecs[..., :-2, :], uvecs[..., 1:-1, :], uvecs[..., 2:, :]
+        nvec_2 = _norm(torch.cross(uvec_2, uvec_1, dim=-1))
+        nvec_1 = _norm(torch.cross(uvec_1, uvec_0, dim=-1))
+        cos_d = torch.clamp(torch.sum(nvec_2 * nvec_1, dim=-1), -1 + eps, 1 - eps)
+        return torch.sign(torch.sum(uvec_2 * nvec_1, dim=-1)) * torch.acos(cos_d)
+
+    bb = X[:, :3].reshape(3 * X.shape[0], 3)
+    d = calc_dihedrals(bb)
+    d = F.pad(d, [1, 2], value=torch.nan).reshape(X.shape[0], 3)
+    mask = torch.ones_like(d)
+    pre = torch.cat((torch.tensor([0.0]),
+                     (residue_index[1:] - 1 == residue_index[:-1]).float()))
+    post = torch.cat(((residue_index[:-1] + 1 == residue_index[1:]).float(),
+                      torch.tensor([0.0])))
+    mask = torch.stack((pre, post, post), dim=-1)
+    # pre-omega reorder + mask overwrite (the reference's quirk)
+    d[:, 2] = torch.cat((torch.tensor([torch.nan]), d[:-1, 2]))
+    d[:, [0, 1, 2]] = d[:, [2, 0, 1]]
+    mask[:, 1] = mask[:, 0]
+    mask = mask * torch.isfinite(d).float()
+
+    np.savez_compressed(REPO_ROOT / "tests/golden/bb_dihedrals_golden.npz",
+                        bb_d=torch.nan_to_num(d).numpy(), bb_mask=mask.numpy())
+    print("wrote bb dihedrals golden")
+
+
+if __name__ == "__main__" and "--bb" in sys.argv:
+    gen_bb_golden()
