@@ -16,8 +16,11 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))  # repo-root import
 
 ASSUMED_REFERENCE_SECONDS = 3.0
 
