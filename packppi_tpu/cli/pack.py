@@ -46,7 +46,8 @@ def build_parser():
                    help="network compute dtype (bf16 ~15%% faster, <1%% score deviation)")
     p.add_argument("--no_fused", action="store_true",
                    help="disable the fused Pallas message kernel")
-    p.add_argument("--molprobity_loc", default=None, help="molprobity.clashscore binary")
+    p.add_argument("--molprobity_loc", "--molprobity_clash_loc", default=None,
+                   help="molprobity.clashscore binary (reference-compatible alias)")
     p.add_argument("--exact_length", action="store_true",
                    help="skip length bucketing (exact reference-style shapes)")
     p.add_argument("--print_metrics", action="store_true", default=True)

@@ -36,7 +36,8 @@ def build_parser():
     p.add_argument("--lamda", type=float, default=1.0)
     p.add_argument("--violation_tolerance_factor", type=float, default=12.0)
     p.add_argument("--clash_overlap_tolerance", type=float, default=0.5)
-    p.add_argument("--molprobity_loc", default=None)
+    p.add_argument("--molprobity_loc", "--molprobity_clash_loc", default=None,
+                   help="molprobity.clashscore binary (reference-compatible alias)")
     p.add_argument("--exact_length", action="store_true")
     return p
 
