@@ -74,7 +74,8 @@ class ChiScoreNetwork(nn.Module):
                                          batch.residue_mask, batch.residue_index)
 
     def __call__(self, batch: ProteinBatch, SC_D_noised: jnp.ndarray,
-                 t: jnp.ndarray, deterministic: bool = True, static=None):
+                 t: jnp.ndarray, deterministic: bool = True, static=None,
+                 skip_last_edge_update: bool = False):
         """Args:
             batch: padded protein batch.
             SC_D_noised: [B, L, 4] noised chi angles.
@@ -97,7 +98,8 @@ class ChiScoreNetwork(nn.Module):
             h_V.astype(dtype) if dtype else h_V,
             h_E.astype(dtype) if dtype else h_E,
             idx, batch.X, batch.residue_mask, deterministic,
-            fused=c.fused_messages and deterministic)
+            fused=c.fused_messages and deterministic,
+            skip_last_edge_update=skip_last_edge_update and deterministic)
 
         score = self.dec1(h_V)
         score = nn.relu(score)

@@ -150,7 +150,8 @@ class InvariantPointLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask_V=None, mask_attend=None,
-                 deterministic: bool = True, fused: bool = False):
+                 deterministic: bool = True, fused: bool = False,
+                 do_edge_update: bool = True):
         frames = scale_translation(bb_frames_from_atom14(X), 1.0 / self.position_scale)
         kw = dict(edge_dim=self.edge_dim, geom_dim=9 * self.n_points,
                   act=self.act, dtype=self.dtype)
@@ -166,7 +167,7 @@ class InvariantPointLayer(nn.Module):
         if mask_V is not None:
             h_V = h_V * mask_V[..., None]
 
-        if self.edge_update:
+        if self.edge_update and do_edge_update:
             points_edge = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
             geom = self._geometry_features(h_V, idx, frames, points_edge)
             e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)(
@@ -235,17 +236,23 @@ class MessagePassingStack(nn.Module):
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask, deterministic: bool = True,
-                 fused: bool = False):
+                 fused: bool = False, skip_last_edge_update: bool = False):
         mask_attend = gather_nodes(mask[..., None], idx).squeeze(-1)
         mask_attend = mask[..., None] * mask_attend
 
-        for _ in range(self.num_layers):
+        for layer in range(self.num_layers):
+            # the final layer's edge update feeds nothing (only h_V is
+            # returned); inference skips that dead compute (~1/6 of the
+            # stack). Param trees are unaffected: init runs with the update
+            # enabled, apply simply does not touch those weights.
+            last = layer == self.num_layers - 1
             if self.use_ipmp:
                 h_V, h_E = InvariantPointLayer(
                     self.hidden_dim, self.n_points, self.dropout, self.act,
                     edge_update=True, position_scale=self.position_scale,
                     dtype=self.dtype, edge_dim=self.edge_dim,
-                )(h_V, h_E, idx, X, mask, mask_attend, deterministic, fused)
+                )(h_V, h_E, idx, X, mask, mask_attend, deterministic, fused,
+                  do_edge_update=not (last and skip_last_edge_update))
             else:
                 h_V, h_E = VanillaMPNNLayer(
                     self.hidden_dim, self.dropout, self.act,

@@ -58,8 +58,9 @@ class TorsionalDiffusion:
         return self.net.init(key, batch, batch.SC_D, t, True)
 
     def apply(self, params, batch: ProteinBatch, sc_d, t, deterministic=True,
-              rngs=None, static=None):
-        return self.net.apply(params, batch, sc_d, t, deterministic, static, rngs=rngs)
+              rngs=None, static=None, skip_last_edge_update=False):
+        return self.net.apply(params, batch, sc_d, t, deterministic, static,
+                              skip_last_edge_update, rngs=rngs)
 
     def encode_static(self, params, batch: ProteinBatch):
         """Backbone graph + edge embeddings, reusable across sampling steps."""
@@ -133,14 +134,16 @@ class TorsionalDiffusion:
             time, dt = inputs
             key, k1, k2 = jax.random.split(key, 3)
             t = jnp.full((B, L), time)
-            score, _ = self.apply(params, batch, sc, t, deterministic=True, static=static)
+            score, _ = self.apply(params, batch, sc, t, deterministic=True,
+                                  static=static, skip_last_edge_update=True)
             sc = self.schedule_pi.step(k1, sc, score, time, dt, m1)
             sc = self.schedule_2pi.step(k2, sc, score, time, dt, m2)
             sc = wrap_angle(sc) * batch.SC_D_mask
 
             for _ in range(corrector_steps):
                 key, kc = jax.random.split(key)
-                score, _ = self.apply(params, batch, sc, t, deterministic=True, static=static)
+                score, _ = self.apply(params, batch, sc, t, deterministic=True,
+                                      static=static, skip_last_edge_update=True)
                 sc = self.schedule_2pi.step_correct(kc, sc, score, m_any)
                 sc = wrap_angle(sc) * batch.SC_D_mask
             return (sc, key), None

@@ -136,3 +136,14 @@ def test_fused_messages_match_unfused(small_batch):
 
     np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_u), atol=2e-5)
     np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=2e-5)
+
+
+def test_skip_last_edge_update_is_exact(model, params, small_batch):
+    """Skipping the final layer's (unconsumed) edge update must not change
+    the network outputs."""
+    t = jnp.full(small_batch.residue_mask.shape, 0.2)
+    s0, h0 = model.apply(params, small_batch, small_batch.SC_D, t)
+    s1, h1 = model.apply(params, small_batch, small_batch.SC_D, t,
+                         skip_last_edge_update=True)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
