@@ -84,6 +84,9 @@ def cv_split(entries: list[dict], num_folds: int = 3, fold_index: int = 0,
     by_complex: dict[str, list[dict]] = {}
     for e in entries:
         by_complex.setdefault(e["complex"], []).append(e)
+    # sorted-then-seeded-shuffle reproduces the reference's fold membership
+    # exactly: it also sorts complex keys before random.Random(seed).shuffle
+    # (reference: src/datamodules/skempi_datamodule.py:111-112)
     names = sorted(by_complex)
     random.Random(seed).shuffle(names)
     fold_size = math.ceil(len(names) / num_folds)

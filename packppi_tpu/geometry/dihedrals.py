@@ -43,12 +43,20 @@ def dihedrals_along_chain(points: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray
 
 
 def dihedral_from_four_points(p0, p1, p2, p3):
-    """Dihedral defined by points p0-p1-p2-p3 (encoder convention)."""
+    """Dihedral defined by points p0-p1-p2-p3 (encoder convention).
+
+    Bit-parity edge case: the reference takes arccos of the *unclamped*
+    normal dot product, so rounding past +/-1 at degenerate (near-parallel /
+    near-antiparallel) normals yields NaN -> nan_to_num -> 0 (reference:
+    src/models/components/encoder.py:164-174). We clamp for a finite
+    gradient but return 0 exactly where the reference would.
+    """
     axis = p2 - p1
     v1 = p0 - p1
     v2 = p3 - p2
     n1 = _safe_normalize(jnp.cross(axis, v1))
     n2 = _safe_normalize(jnp.cross(axis, v2))
     sign = jnp.sign(jnp.sum(jnp.cross(v1, v2) * axis, -1))
-    d = sign * jnp.arccos(jnp.clip(jnp.sum(n1 * n2, -1), -1.0, 1.0))
-    return jnp.nan_to_num(d)
+    dot = jnp.sum(n1 * n2, -1)
+    d = sign * jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    return jnp.where(jnp.abs(dot) > 1.0, 0.0, jnp.nan_to_num(d))

@@ -1,12 +1,15 @@
 """Native host runtime: C++ PDB parser + SASA via ctypes.
 
-The shared library builds on first use (g++ -O3) and caches next to the
-source. Set ``PACKPPI_NATIVE=0`` to force the pure-Python paths; all native
-functions have Python fallbacks with identical outputs (tested).
+The shared library is always compiled locally on first use (g++ -O3) into a
+cache path keyed by the source hash — no prebuilt binary ships in the repo,
+so the loaded code is exactly what the local toolchain produced from the
+audited source. Set ``PACKPPI_NATIVE=0`` to force the pure-Python paths; all
+native functions have Python fallbacks with identical outputs (tested).
 """
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from pathlib import Path
@@ -15,7 +18,6 @@ from typing import Optional
 import numpy as np
 
 _SRC = Path(__file__).parent / "src" / "pdbio.cpp"
-_LIB = Path(__file__).parent / "src" / "libpackppi_io.so"
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
@@ -24,28 +26,41 @@ def native_enabled() -> bool:
     return os.environ.get("PACKPPI_NATIVE", "1") != "0"
 
 
-def _build() -> bool:
+def _lib_path() -> Path:
+    """Cache path keyed by the source digest: any source edit changes the
+    target path, so a stale or foreign-arch binary can never be picked up."""
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    root = os.environ.get(
+        "PACKPPI_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "packppi_tpu"))
+    p = Path(root) / "native"
+    p.mkdir(parents=True, exist_ok=True)
+    return p / f"libpackppi_io-{digest}.so"
+
+
+def _build(lib_path: Path) -> bool:
     try:
+        tmp = lib_path.with_suffix(".so.tmp")
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(_LIB)],
+             str(_SRC), "-o", str(tmp)],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, lib_path)  # atomic: concurrent builders race safely
         return True
     except Exception:
         return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building locally if needed) the native library; None if unavailable."""
     global _lib, _load_failed
     if _lib is not None or _load_failed or not native_enabled():
         return _lib
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-        if not _build():
-            _load_failed = True
-            return None
+    lib_path = _lib_path()
+    if not lib_path.exists() and not _build(lib_path):
+        _load_failed = True
+        return None
     try:
-        lib = ctypes.CDLL(str(_LIB))
+        lib = ctypes.CDLL(str(lib_path))
         lib.ppi_parse_pdb.restype = ctypes.c_int
         lib.ppi_sasa.restype = None
         _lib = lib

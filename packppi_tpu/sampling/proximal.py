@@ -44,7 +44,10 @@ def find_clash_mask(batch: ProteinBatch, SC_D,
 
 class ProximalResult(NamedTuple):
     SC_D: jnp.ndarray        # [B, L, 4] optimized chis (non-selected kept)
-    losses: jnp.ndarray      # [num_steps + 1] objective trajectory (0 = initial)
+    losses: jnp.ndarray      # [num_steps] objective BEFORE each Adam step —
+    #                          the reference's exact recording points, so the
+    #                          accept rule losses[-1] < losses[0] matches
+    #                          (reference: src/models/components/optimize.py:60-71)
     clash_mask: jnp.ndarray  # [B, L, 4] which chis were optimized
 
 
@@ -69,7 +72,6 @@ def proximal_optimize(batch: ProteinBatch, SC_D,
 
     opt = optax.adam(lr)
     loss_grad = jax.value_and_grad(objective)
-    init_loss = objective(z)
 
     def step(carry, _):
         x, opt_state = carry
@@ -78,7 +80,8 @@ def proximal_optimize(batch: ProteinBatch, SC_D,
         x = optax.apply_updates(x, updates)
         return (x, opt_state), loss
 
+    # losses[k] is the objective *before* step k — the same points the
+    # reference records into loss_list, so losses[0] is the initial objective
+    # and losses[-1] is the pre-final-step value used by the accept rule.
     (x, _), losses = jax.lax.scan(step, (z, opt.init(z)), None, length=num_steps)
-    # losses[k] is the objective *before* step k; append the final value
-    traj = jnp.concatenate([jnp.asarray([init_loss]), losses[1:], objective(x)[None]])
-    return ProximalResult(jnp.where(clash_mask, x, SC_D), traj, clash_mask)
+    return ProximalResult(jnp.where(clash_mask, x, SC_D), losses, clash_mask)

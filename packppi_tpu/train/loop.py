@@ -266,7 +266,13 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
         idx = np.arange(len(entries))
         if shuffle:
             np.random.default_rng(seed).shuffle(idx)
-        for s in range(0, len(idx) - batch_size + 1, batch_size):
+            # training: drop the ragged tail so every step sees a full batch
+            stops = range(0, len(idx) - batch_size + 1, batch_size)
+        else:
+            # eval: emit the final partial batch too — a val split smaller
+            # than batch_size must still yield (else val_loss is NaN forever)
+            stops = range(0, len(idx), batch_size)
+        for s in stops:
             items = [load_item(entries[i]) for i in idx[s:s + batch_size]]
             L = max(w.shape[0] for w, _, _ in items)
             wt = np.zeros((len(items), L, ESM_DIM), np.float32)
