@@ -37,7 +37,7 @@ def run(args) -> float:
     from packppi_tpu.models import NetworkConfig
     from packppi_tpu.models.affinity import AffinityModel
     from packppi_tpu.structure import from_pdb_file
-    from packppi_tpu.train import load_params
+    from packppi_tpu.train import load_model_params
 
     prot = from_pdb_file(args.input, mse_to_met=True)
     mutations = [parse_mutation(m.strip()) for m in args.mutstr.split(",")]
@@ -70,7 +70,7 @@ def run(args) -> float:
         if args.ckpt:
             template = jax.eval_shape(
                 lambda: model.net.init(jax.random.key(0), None, None, wt, mt, None))
-            params = load_params(args.ckpt, template)
+            params = load_model_params(args.ckpt, template)
         else:
             print("WARNING: no --ckpt; using randomly initialized esm head")
             params = model.net.init(key, None, None, wt, mt, None)
@@ -86,14 +86,14 @@ def run(args) -> float:
 
     if args.pre_ckpt:
         template = jax.eval_shape(lambda: model.backbone.init(jax.random.key(0), batch.wild()))
-        backbone_params = load_params(args.pre_ckpt, template)
+        backbone_params = load_model_params(args.pre_ckpt, template)
     else:
         print("WARNING: no --pre_ckpt; using randomly initialized diffusion backbone")
         backbone_params = model.backbone.init(k_bb, batch.wild())
 
     if args.ckpt:
         template = jax.eval_shape(lambda: model.init(jax.random.key(0), batch, backbone_params))
-        params = load_params(args.ckpt, template)
+        params = load_model_params(args.ckpt, template)
     else:
         print("WARNING: no --ckpt; using randomly initialized affinity net")
         params = model.init(k_net, batch, backbone_params)

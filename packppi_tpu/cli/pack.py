@@ -39,6 +39,11 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
     p.add_argument("--n_steps", type=int, default=30, help="reverse-diffusion steps")
+    p.add_argument("--corrector_steps", type=int, default=0,
+                   help="Langevin corrector sub-steps per denoising iteration "
+                        "(extra network evals; 0 = off, matching the reference "
+                        "sampler, whose corrector is also implemented but "
+                        "unused: reference src/models/components/schedule.py:237)")
     p.add_argument("--n_samples", type=int, default=1,
                    help="sample N conformations in one batched pass and keep "
                         "the least-clashing one (single-PDB mode)")
@@ -65,7 +70,7 @@ def run(args) -> dict:
     from packppi_tpu.sampling import proximal_optimize
     from packppi_tpu.structure import from_pdb_file, to_pdb
     from packppi_tpu.structure.featurize import featurize
-    from packppi_tpu.train import load_params
+    from packppi_tpu.train import load_model_params
     from packppi_tpu.utils.analysis import ProteinAnalysis
 
     outdir = Path(args.outdir)
@@ -86,14 +91,16 @@ def run(args) -> dict:
     key = jax.random.key(args.seed)
     if args.ckpt:
         template = jax.eval_shape(lambda: model.init(jax.random.key(0), batch))
-        params = load_params(args.ckpt, template)
+        params = load_model_params(args.ckpt, template)
     else:
         print("WARNING: no --ckpt given; sampling with randomly initialized weights")
         key, k_init = jax.random.split(key)
         params = model.init(k_init, batch)
 
     t0 = time.perf_counter()
-    sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=args.n_steps))
+    sample_fn = jax.jit(lambda p, k, b: model.sample(
+        p, k, b, n_steps=args.n_steps,
+        corrector_steps=getattr(args, "corrector_steps", 0)))
     coords_fn = jax.jit(lambda b, sc: atom14_coords_from_torsions(
         b.X, b.residue_type, b.BB_D, sc))
     key, k_sample = jax.random.split(key)
@@ -162,7 +169,7 @@ def run_directory(args) -> list:
     from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
     from packppi_tpu.structure import from_pdb_file, to_pdb
     from packppi_tpu.structure.featurize import featurize
-    from packppi_tpu.train import load_params
+    from packppi_tpu.train import load_model_params
 
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -185,13 +192,15 @@ def run_directory(args) -> list:
     init_batch = stack_batch(feats[:1])
     if args.ckpt:
         template = jax.eval_shape(lambda: model.init(jax.random.key(0), init_batch))
-        params = load_params(args.ckpt, template)
+        params = load_model_params(args.ckpt, template)
     else:
         print("WARNING: no --ckpt given; sampling with randomly initialized weights")
         key, k_init = jax.random.split(key)
         params = model.init(k_init, init_batch)
 
-    sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=args.n_steps))
+    sample_fn = jax.jit(lambda p, k, b: model.sample(
+        p, k, b, n_steps=args.n_steps,
+        corrector_steps=getattr(args, "corrector_steps", 0)))
     coords_fn = jax.jit(lambda b, sc: atom14_coords_from_torsions(
         b.X, b.residue_type, b.BB_D, sc))
 

@@ -63,6 +63,8 @@ class ComplexDataset:
         self.cache_dir = Path(cache_dir) if cache_dir else None
         self.suffix = suffix
         self.len_region = tuple(len_region)
+        self._length_cache: Optional[dict] = None
+        self._manifest_dirty = False
         if self.cache_dir:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
 
@@ -86,9 +88,38 @@ class ComplexDataset:
             np.savez_compressed(cache, **feats)
         return feats
 
+    def _manifest_path(self) -> Optional[Path]:
+        return self.cache_dir / "lengths.json" if self.cache_dir else None
+
+    def length(self, idx: int) -> int:
+        """Residue count WITHOUT featurizing: manifest hit, else a parse-only
+        scan (no dihedrals/frames), recorded in the manifest for next time.
+        Keeps the loader's bucket planning O(manifest read) instead of a
+        serial full-corpus featurization stall."""
+        if self._length_cache is None:
+            mp = self._manifest_path()
+            self._length_cache = (json.loads(mp.read_text())
+                                  if mp and mp.exists() else {})
+        code = self.entries[idx]
+        if code not in self._length_cache:
+            prot = from_pdb_file(self.pdb_path(code), mse_to_met=True)
+            self._length_cache[code] = int(len(prot.aaindex))
+            self._manifest_dirty = True
+        return self._length_cache[code]
+
+    def _save_manifest(self):
+        mp = self._manifest_path()
+        if mp and getattr(self, "_manifest_dirty", False):
+            tmp = mp.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(self._length_cache))
+            tmp.replace(mp)
+            self._manifest_dirty = False
+
     def lengths(self) -> list[int]:
-        """Residue counts (parses/caches on first call) for bucketing."""
-        return [len(self[i]["residue_type"]) for i in range(len(self))]
+        """Residue counts for bucket planning (manifest-backed, parse-only)."""
+        out = [self.length(i) for i in range(len(self))]
+        self._save_manifest()
+        return out
 
     def filtered(self) -> "ComplexDataset":
         """Drop entries outside len_region (parses everything once; results

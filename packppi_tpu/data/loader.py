@@ -46,8 +46,13 @@ class BucketedLoader:
 
     def _ensure_lengths(self):
         if self._lengths is None:
-            self._lengths = [len(self.dataset[i]["residue_type"])
-                             for i in range(len(self.dataset))]
+            if hasattr(self.dataset, "lengths"):
+                # manifest-backed parse-only counts (ComplexDataset.lengths):
+                # planning never featurizes the whole corpus serially
+                self._lengths = list(self.dataset.lengths())
+            else:
+                self._lengths = [len(self.dataset[i]["residue_type"])
+                                 for i in range(len(self.dataset))]
 
     def _plan(self) -> list[list[int]]:
         """Same-bucket batches of dataset indices for this epoch."""

@@ -108,10 +108,19 @@ class TorsionalDiffusion:
 
     def sample(self, params, key, batch: ProteinBatch,
                n_steps: Optional[int] = None,
-               corrector_steps: int = 0) -> jnp.ndarray:
+               corrector_steps: int = 0,
+               init_sc: Optional[jnp.ndarray] = None,
+               return_trajectory: bool = False) -> jnp.ndarray:
         """30 denoising iterations as one lax.scan (reference:
         src/models/TorsionalDiffusion.py:254-298), optionally followed by
         Langevin corrector sub-steps per iteration. Returns SC_D [B, L, 4].
+
+        ``init_sc`` overrides the t=1 noised chi initialization — used by the
+        fixed-noise full-pipeline parity test, which replays the torch
+        reference's recorded initial noise through this sampler (in ODE mode
+        the initial noise is the sampler's only randomness).
+        ``return_trajectory`` additionally returns the [n_steps, B, L, 4]
+        per-step network inputs (the reference's recording points).
         """
         ts = np.linspace(1.0, 0.0, (n_steps or 30) + 1)
         times = jnp.asarray(ts[:-1], jnp.float32)
@@ -119,7 +128,10 @@ class TorsionalDiffusion:
 
         B, L = batch.residue_mask.shape
         key, k0 = jax.random.split(key)
-        sc, _ = self.add_chi_noise(k0, batch, jnp.ones((B, L)))
+        if init_sc is None:
+            sc, _ = self.add_chi_noise(k0, batch, jnp.ones((B, L)))
+        else:
+            sc = jnp.asarray(init_sc, jnp.float32)
 
         m1 = batch.chi_1pi_periodic_mask
         m2 = batch.chi_2pi_periodic_mask
@@ -130,13 +142,13 @@ class TorsionalDiffusion:
         static = self.encode_static(params, batch)
 
         def step(carry, inputs):
-            sc, key = carry
+            sc_in, key = carry
             time, dt = inputs
             key, k1, k2 = jax.random.split(key, 3)
             t = jnp.full((B, L), time)
-            score, _ = self.apply(params, batch, sc, t, deterministic=True,
+            score, _ = self.apply(params, batch, sc_in, t, deterministic=True,
                                   static=static, skip_last_edge_update=True)
-            sc = self.schedule_pi.step(k1, sc, score, time, dt, m1)
+            sc = self.schedule_pi.step(k1, sc_in, score, time, dt, m1)
             sc = self.schedule_2pi.step(k2, sc, score, time, dt, m2)
             sc = wrap_angle(sc) * batch.SC_D_mask
 
@@ -146,7 +158,9 @@ class TorsionalDiffusion:
                                       static=static, skip_last_edge_update=True)
                 sc = self.schedule_2pi.step_correct(kc, sc, score, m_any)
                 sc = wrap_angle(sc) * batch.SC_D_mask
-            return (sc, key), None
+            return (sc, key), sc_in
 
-        (sc, _), _ = jax.lax.scan(step, (sc, key), (times, dts))
+        (sc, _), traj = jax.lax.scan(step, (sc, key), (times, dts))
+        if return_trajectory:
+            return sc, traj
         return sc

@@ -25,3 +25,30 @@ def load_params(path: str, template=None):
     if template is not None:
         return ckptr.restore(path, template)
     return ckptr.restore(path)
+
+
+def load_model_params(path: str, template) -> dict:
+    """Load model params from either a params-only checkpoint
+    (tools/convert_checkpoint.py output) or a full training TrainState
+    checkpoint (params + opt_state + step + key), unwrapping the latter.
+
+    Restores WITHOUT a template first — restoring a TrainState directory
+    against a params-only template fails inside orbax before any unwrap
+    check could run — then validates leaf shapes against ``template``.
+    (reference analog: AffinityPrediction loads a TDiffusionModule .ckpt,
+    reference: src/models/AffinityPrediction.py:39-47)
+    """
+    import jax
+    import numpy as np
+
+    raw = load_params(path)
+    if isinstance(raw, dict) and "params" in raw and "step" in raw:
+        raw = raw["params"]  # full TrainState checkpoint -> backbone params
+
+    t_shapes = jax.tree.map(lambda x: tuple(x.shape), template)
+    r_shapes = jax.tree.map(lambda x: tuple(np.shape(x)), raw)
+    if t_shapes != r_shapes:
+        raise ValueError(
+            f"checkpoint at {path} does not match the expected parameter "
+            "tree (checkpoint for a different model/config?)")
+    return raw

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from packppi_tpu.train.checkpoints import load_params, save_params
+from packppi_tpu.train.checkpoints import load_model_params, load_params, save_params
 from packppi_tpu.train.diffusion_task import TrainState, init_state, make_train_step
 from packppi_tpu.utils.logging import MetricLogger, get_logger
 
@@ -230,10 +230,37 @@ def train_diffusion(cfg) -> dict:
             "best_ckpt": ckpt_mgr.best(), "last_ckpt": ckpt_mgr.latest()}
 
 
+def esm_batches(entries, batch_size, shuffle, seed, load_item):
+    """Padded (wt, mut, ddg) batches over SKEMPI entries for ESM mode.
+
+    Training (shuffle=True) drops the ragged tail so every step sees a full
+    batch; eval (shuffle=False) emits the final partial batch too — a val
+    split smaller than batch_size must still yield (else val_loss is NaN
+    every epoch and checkpoints all save with metric=None).
+    """
+    from packppi_tpu.data.esm import ESM_DIM
+
+    idx = np.arange(len(entries))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+        stops = range(0, len(idx) - batch_size + 1, batch_size)
+    else:
+        stops = range(0, len(idx), batch_size)
+    for s in stops:
+        items = [load_item(entries[i]) for i in idx[s:s + batch_size]]
+        L = max(w.shape[0] for w, _, _ in items)
+        wt = np.zeros((len(items), L, ESM_DIM), np.float32)
+        mt = np.zeros_like(wt)
+        ddg = np.zeros(len(items), np.float32)
+        for k, (w, m, d) in enumerate(items):
+            wt[k, : len(w)], mt[k, : len(m)], ddg[k] = w, m, d
+        yield jnp.asarray(wt), jnp.asarray(mt), jnp.asarray(ddg)
+
+
 def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
     """'esm' mode: ddG head over precomputed/extracted ESM-2 embeddings
     (reference: configs/experiment/affinity_esm.yaml; hidden dim 1280)."""
-    from packppi_tpu.data.esm import ESM_DIM, get_esm_extractor
+    from packppi_tpu.data.esm import get_esm_extractor
     from packppi_tpu.data.skempi import apply_mutations
     from packppi_tpu.models import NetworkConfig
     from packppi_tpu.models.affinity import AffinityModel
@@ -263,24 +290,7 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
         return wt, mut, np.float32(e["ddG"])
 
     def make_batches(entries, batch_size, shuffle, seed):
-        idx = np.arange(len(entries))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(idx)
-            # training: drop the ragged tail so every step sees a full batch
-            stops = range(0, len(idx) - batch_size + 1, batch_size)
-        else:
-            # eval: emit the final partial batch too — a val split smaller
-            # than batch_size must still yield (else val_loss is NaN forever)
-            stops = range(0, len(idx), batch_size)
-        for s in stops:
-            items = [load_item(entries[i]) for i in idx[s:s + batch_size]]
-            L = max(w.shape[0] for w, _, _ in items)
-            wt = np.zeros((len(items), L, ESM_DIM), np.float32)
-            mt = np.zeros_like(wt)
-            ddg = np.zeros(len(items), np.float32)
-            for k, (w, m, d) in enumerate(items):
-                wt[k, : len(w)], mt[k, : len(m)], ddg[k] = w, m, d
-            yield jnp.asarray(wt), jnp.asarray(mt), jnp.asarray(ddg)
+        yield from esm_batches(entries, batch_size, shuffle, seed, load_item)
 
     model = AffinityModel.create(NetworkConfig(), mode="esm")
     key = jax.random.key(cfg.seed)
@@ -382,10 +392,7 @@ def train_affinity(cfg) -> dict:
     init_batch = next(iter(loaders["train"]))
     if cfg.get("pre_checkpoint_path"):
         template = jax.eval_shape(lambda: model.backbone.init(jax.random.key(0), init_batch.wild()))
-        backbone_params = load_params(cfg.pre_checkpoint_path, template)
-        # training checkpoints store the full TrainState; unwrap when needed
-        if isinstance(backbone_params, dict) and "params" in backbone_params and "step" in backbone_params:
-            backbone_params = backbone_params["params"]
+        backbone_params = load_model_params(cfg.pre_checkpoint_path, template)
     else:
         log.warning("no pre_checkpoint_path: affinity training on a random backbone")
         backbone_params = model.backbone.init(kb, init_batch.wild())

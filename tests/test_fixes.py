@@ -1,0 +1,155 @@
+"""Regression tests for round-2 hardening fixes.
+
+Covers: tolerant checkpoint loading (TrainState vs params-only), the
+lengths manifest (no full-corpus featurization during loader planning),
+ESM eval tail batches, and the degenerate-dihedral reference parity.
+"""
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from packppi_tpu.train.checkpoints import load_model_params, save_params
+
+
+def _tiny_params():
+    return {"params": {"Dense_0": {"kernel": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+                                   "bias": jnp.zeros(3)}}}
+
+
+def test_load_model_params_accepts_params_only(tmp_path):
+    params = _tiny_params()
+    save_params(tmp_path / "ckpt", params)
+    template = jax.eval_shape(lambda: params)
+    out = load_model_params(str(tmp_path / "ckpt"), template)
+    np.testing.assert_array_equal(out["params"]["Dense_0"]["kernel"],
+                                  params["params"]["Dense_0"]["kernel"])
+
+
+def test_load_model_params_unwraps_trainstate(tmp_path):
+    """A full diffusion TrainState checkpoint restores into a params-only
+    template (the reference analog: AffinityPrediction loads a
+    TDiffusionModule training .ckpt as its frozen backbone)."""
+    from packppi_tpu.train.diffusion_task import TrainState
+
+    params = _tiny_params()
+    state = TrainState(params=params, opt_state=(jnp.zeros(()),),
+                       step=jnp.asarray(7), key=jax.random.key(0))
+    save_params(tmp_path / "ckpt", state)
+    template = jax.eval_shape(lambda: params)
+    out = load_model_params(str(tmp_path / "ckpt"), template)
+    np.testing.assert_array_equal(out["params"]["Dense_0"]["kernel"],
+                                  params["params"]["Dense_0"]["kernel"])
+
+
+def test_load_model_params_rejects_mismatched_tree(tmp_path):
+    save_params(tmp_path / "ckpt", _tiny_params())
+    bad_template = jax.eval_shape(
+        lambda: {"params": {"Dense_0": {"kernel": jnp.zeros((4, 5)), "bias": jnp.zeros(5)}}})
+    with pytest.raises(ValueError, match="does not match"):
+        load_model_params(str(tmp_path / "ckpt"), bad_template)
+
+
+def test_lengths_manifest_avoids_featurization(tmp_path, monkeypatch):
+    """Loader planning must not featurize the corpus: lengths come from a
+    parse-only scan persisted to a JSON manifest."""
+    import shutil
+
+    from packppi_tpu.data.complex import ComplexDataset
+
+    fixtures = Path(__file__).parent / "fixtures"
+    pdb_dir = tmp_path / "pdbs"
+    pdb_dir.mkdir()
+    for name in ("1brs", "2ftl"):
+        shutil.copy(fixtures / f"{name}.pdb", pdb_dir / f"{name}_rc.pdb")
+
+    import packppi_tpu.data.complex as complex_mod
+
+    def _no_featurize(*a, **kw):
+        raise AssertionError("lengths() must not featurize")
+
+    monkeypatch.setattr(complex_mod, "featurize", _no_featurize)
+    ds = ComplexDataset(str(pdb_dir), ["1brs", "2ftl"], cache_dir=str(tmp_path / "cache"))
+    lengths = ds.lengths()
+    assert lengths == [195, 280]
+
+    manifest = json.loads((tmp_path / "cache" / "lengths.json").read_text())
+    assert manifest == {"1brs": 195, "2ftl": 280}
+
+    # second dataset instance answers purely from the manifest (no parsing)
+    monkeypatch.setattr(complex_mod, "from_pdb_file",
+                        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("manifest miss")))
+    ds2 = ComplexDataset(str(pdb_dir), ["1brs", "2ftl"], cache_dir=str(tmp_path / "cache"))
+    assert ds2.lengths() == [195, 280]
+
+
+def test_loader_uses_dataset_lengths(tmp_path, monkeypatch):
+    from packppi_tpu.data.loader import BucketedLoader
+
+    class FakeDataset:
+        def __len__(self):
+            return 3
+
+        def lengths(self):
+            return [10, 11, 200]
+
+        def __getitem__(self, i):
+            raise AssertionError("planning must not materialize items")
+
+    loader = BucketedLoader(FakeDataset(), batch_size=2, shuffle=False)
+    # two buckets (10/11 together, 200 alone) -> 2 planned batches
+    assert len(loader) == 2
+
+
+def test_esm_batches_eval_emits_partial_tail():
+    from packppi_tpu.train.loop import esm_batches
+
+    def load_item(e):
+        return (np.ones((5, 1280), np.float32), np.ones((5, 1280), np.float32),
+                np.float32(e))
+
+    entries = [1.0, 2.0, 3.0]  # 3 entries, batch_size 2
+    eval_batches = list(esm_batches(entries, 2, False, 0, load_item))
+    assert [b[2].shape[0] for b in eval_batches] == [2, 1]  # tail emitted
+    train_batches = list(esm_batches(entries, 2, True, 0, load_item))
+    assert [b[2].shape[0] for b in train_batches] == [2]  # tail dropped
+
+    # a split smaller than batch_size still yields at eval
+    small = list(esm_batches([1.0], 4, False, 0, load_item))
+    assert len(small) == 1 and small[0][2].shape[0] == 1
+
+
+def test_degenerate_dihedral_matches_reference():
+    """Bit-parity with the reference's unclamped arccos + nan_to_num
+    (reference: src/models/components/encoder.py:164-174), including
+    degenerate near-parallel/antiparallel normals where f32 rounding can
+    push |dot| past 1 (reference yields NaN -> 0)."""
+    import torch
+
+    from packppi_tpu.geometry.dihedrals import dihedral_from_four_points
+
+    def reference(p0, p1, p2, p3):
+        def norm(t):
+            return torch.nan_to_num(t / torch.norm(t, dim=-1, keepdim=True))
+        u0, u1, u2 = p2 - p1, p0 - p1, p3 - p2
+        n1 = norm(torch.cross(u0, u1, dim=-1))
+        n2 = norm(torch.cross(u0, u2, dim=-1))
+        sgn = torch.sign((torch.cross(u1, u2, dim=-1) * u0).sum(-1))
+        return torch.nan_to_num(sgn * torch.arccos((n1 * n2).sum(-1)))
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(4, 256, 3)).astype(np.float32)
+    # append degenerate rows: coplanar (parallel / antiparallel normals)
+    degen = []
+    for flip in (1.0, -1.0):
+        a = rng.normal(size=3).astype(np.float32)
+        b = rng.normal(size=3).astype(np.float32)
+        degen.append(np.stack([a, np.zeros(3, np.float32), b, flip * a]))
+    pts = np.concatenate([pts, np.stack(degen, 1)], axis=1)
+
+    ours = np.asarray(dihedral_from_four_points(*[jnp.asarray(p) for p in pts]))
+    theirs = reference(*[torch.from_numpy(p) for p in pts]).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
