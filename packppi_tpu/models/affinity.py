@@ -75,7 +75,8 @@ class AffinityNet(nn.Module):
                 hidden_dim=c.hidden_dim, num_layers=c.num_mpnn_layers,
                 n_points=c.n_points, dropout=c.dropout, act=c.act,
                 position_scale=c.position_scale, use_ipmp=c.use_ipmp,
-                k_neighbors=c.k_neighbors, name="mutation_mpnn")
+                k_neighbors=c.k_neighbors, edge_dim=c.edge_features,
+                name="mutation_mpnn")
 
             local = local_subgraph_mask(wild.X[:, :, 1, :], mut_mask)
             mut_flag = jnp.clip(mut_mask.astype(jnp.int32), 0, 1)

@@ -96,3 +96,45 @@ def test_affinity_forward_and_loss(brs, mode):
 
     loss = model.loss(params, backbone_params, kd, batch)
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_affinity_memorization_probe(brs):
+    """Learnability probe mirroring the diffusion memorization test: a
+    handful of 1BRS mutations with fixed ddG labels must be fit to ~0 loss
+    by the affinity head through the antisymmetric objective — proving the
+    gradient path (fusion MLP, mutation MPNN, ddG head, wt/mt twin plumbing)
+    can actually learn, not just produce finite losses."""
+    import optax
+
+    labels = {"KA25A": 2.0, "DD35A": -1.5, "EA71A": 0.5, "RA85A": -3.0}
+    feats = [skempi_features(brs, [parse_mutation(m)], ddg=y)
+             for m, y in labels.items()]
+    batch = stack_affinity_batch(feats)
+
+    cfg = NetworkConfig(node_features=32, edge_features=32, hidden_dim=32,
+                        num_mpnn_layers=1, n_points=4, dropout=0.0, top_k=8,
+                        k_neighbors=8)
+    model = AffinityModel.create(cfg, mode="network")
+    kb, kn, kd = jax.random.split(jax.random.key(0), 3)
+    backbone_params = model.backbone.init(kb, batch.wild())
+    params = model.init(kn, batch, backbone_params)
+
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, g = jax.value_and_grad(
+            lambda p: model.loss(p, backbone_params, key, batch))(params)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    key = kd
+    for _ in range(150):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+        losses.append(float(loss))
+
+    assert losses[0] > 1.0          # starts near the label variance
+    assert min(losses) < 0.05       # memorizes the 4 labels
