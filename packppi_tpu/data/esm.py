@@ -42,6 +42,28 @@ def build_chain_separated_sequence(residue_types: np.ndarray,
     return "".join(parts)
 
 
+def residue_keep_indices(chain_indices: np.ndarray) -> np.ndarray:
+    """Token indices (after the cls token is stripped) that correspond to
+    residues in the sequence built by :func:`build_chain_separated_sequence`.
+
+    Each ``<pad>``/``<mask>`` is ONE token to the ESM tokenizer, so the
+    token stream after cls is: chain-0 residues, 20 pads, chain-1 residues,
+    20 pads, ..., last chain, eos. Note the reference instead keeps tokens
+    ``[1 : L+1]`` verbatim (reference:
+    src/datamodules/components/helper.py:164-166), which for multi-chain
+    inputs assigns pad-token embeddings to later-chain residues and drops
+    the last chain's tail — a misalignment we deliberately fix (documented
+    in PARITY.md "Known deltas")."""
+    keep: list[int] = []
+    uniq = sorted(set(int(c) for c in chain_indices))
+    pos = 0
+    for j, c in enumerate(uniq):
+        n = int((np.asarray(chain_indices) == c).sum())
+        keep.extend(range(pos, pos + n))
+        pos += n + (_PAD_RUN if j != len(uniq) - 1 else 0)
+    return np.asarray(keep, dtype=np.int64)
+
+
 _extractor_cache = {}
 
 
@@ -68,13 +90,7 @@ def get_esm_extractor(model_name: str = ESM_MODEL_NAME, device: str = "cpu"):
             out = model(**{k: v.to(device) for k, v in enc.items()})
         reps = out.last_hidden_state[0, 1:-1].cpu().numpy()  # drop cls/eos
         # keep residue positions only (pads between chains are dropped)
-        keep = []
-        uniq = sorted(set(int(c) for c in chain_indices))
-        pos = 0
-        for j, c in enumerate(uniq):
-            n = int((chain_indices == c).sum())
-            keep.extend(range(pos, pos + n))
-            pos += n + (_PAD_RUN if j != len(uniq) - 1 else 0)
+        keep = residue_keep_indices(chain_indices)
         return reps[keep].astype(np.float32)
 
     _extractor_cache[model_name] = extract
