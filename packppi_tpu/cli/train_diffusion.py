@@ -1,31 +1,28 @@
 """packppi-train-diffusion: PackPPI-MSC training CLI.
 
 Usage: packppi-train-diffusion [--config configs/train_diffusion.yaml]
-       [section.key=value ...] (e.g. trainer=debug data.batch_size=2)
+       [-m] [section.key=value ...]
+       (e.g. trainer=debug data.batch_size=2, or a sweep:
+       -m model.lr=1e-4,3e-4 seed=0,1)
+
+Each run writes into a fresh ``<output_dir>/runs/<timestamp>`` directory
+(``multiruns/<timestamp>/<job>`` under ``-m``); ``optimized_metric`` in the
+config selects which returned metric a sweep minimizes (reference:
+src/train_diffusion.py:100-117).
 """
 from __future__ import annotations
 
-import argparse
-from pathlib import Path
+from packppi_tpu.cli._runner import run_training
+
+
+def _loader():
+    from packppi_tpu.train.loop import train_diffusion
+    return train_diffusion
 
 
 def main():
-    p = argparse.ArgumentParser(description="Train the torsional diffusion model")
-    p.add_argument("--config", default=None, help="task config YAML")
-    p.add_argument("--platform", default=None)
-    p.add_argument("overrides", nargs="*", help="dotlist overrides: a.b=c or group=name")
-    args = p.parse_args()
-
-    from packppi_tpu.utils.platform import configure_platform
-    configure_platform(args.platform)
-
-    from packppi_tpu.train.loop import train_diffusion
-    from packppi_tpu.utils.config import load_config
-
-    default_cfg = Path(__file__).resolve().parents[2] / "configs/train_diffusion.yaml"
-    cfg = load_config(args.config or str(default_cfg), args.overrides)
-    result = train_diffusion(cfg)
-    print(result)
+    run_training(_loader, "train_diffusion.yaml",
+                 "Train the torsional diffusion model")
 
 
 if __name__ == "__main__":

@@ -46,10 +46,11 @@ class BucketedLoader:
 
     def _ensure_lengths(self):
         if self._lengths is None:
-            if hasattr(self.dataset, "lengths"):
+            lengths = getattr(self.dataset, "lengths", None)
+            if lengths is not None:
                 # manifest-backed parse-only counts (ComplexDataset.lengths):
                 # planning never featurizes the whole corpus serially
-                self._lengths = list(self.dataset.lengths())
+                self._lengths = list(lengths() if callable(lengths) else lengths)
             else:
                 self._lengths = [len(self.dataset[i]["residue_type"])
                                  for i in range(len(self.dataset))]

@@ -78,6 +78,66 @@ def _resolve_interpolations(node, root):
     return node
 
 
+def _split_sweep_value(val: str) -> list[str]:
+    """Split a Hydra-style choice sweep ``a,b,c`` at top-level commas only
+    (commas inside ``[...]``/``{...}`` belong to a single YAML value)."""
+    parts, depth, cur = [], 0, []
+    for ch in val:
+        if ch in "[{":
+            depth += 1
+        elif ch in "]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def expand_multirun(overrides: list[str]) -> list[list[str]]:
+    """Cartesian product of comma-sweep overrides: ``["lr=1e-4,3e-4",
+    "seed=0"]`` -> two jobs (reference: Hydra's basic sweeper, used by
+    src/train_diffusion.py:100-103 with ``-m``)."""
+    import itertools
+
+    axes = []
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        axes.append([f"{key}={v}" for v in _split_sweep_value(val)])
+    return [list(combo) for combo in itertools.product(*axes)] if axes else [[]]
+
+
+def make_run_dir(base: str, multirun: bool = False, job: Optional[int] = None,
+                 tags: Optional[list] = None, timestamp: Optional[str] = None) -> Path:
+    """Per-run output directory, Hydra-layout: ``<base>/runs/<ts>[_<tags>]``
+    or ``<base>/multiruns/<ts>/<job>`` (reference:
+    configs/hydra/default.yaml:8-11)."""
+    import datetime
+
+    ts = timestamp or datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    if tags:
+        ts += "_" + "-".join(str(t) for t in tags)
+    d = Path(base) / ("multiruns" if multirun else "runs") / ts
+    if multirun:
+        d = d / str(job)
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def get_metric_value(metric_dict: dict, metric_name: Optional[str]):
+    """Retrieve the metric a sweep optimizes; None when unset (reference:
+    src/utils/utils.py::get_metric_value via train_diffusion.py:100-103)."""
+    if not metric_name:
+        return None
+    if metric_name not in metric_dict:
+        raise KeyError(
+            f"optimized_metric {metric_name!r} not in metrics {sorted(metric_dict)}")
+    v = metric_dict[metric_name]
+    return float(v) if v is not None else None
+
+
 def load_config(path: str, overrides: Optional[list[str]] = None) -> Config:
     """Compose a task config: base file -> group defaults -> overrides."""
     path = Path(path)

@@ -147,3 +147,78 @@ def test_complex_dataset_length_filter(tmp_path):
     ds_small = ComplexDataset(str(tmp_path), ["ok", "toobig"],
                               cache_dir=str(tmp_path / "cache2"), len_region=(10, 100))
     assert len(ds_small.filtered()) == 0
+
+
+# ---------------------------------------------------------------------------
+# Multirun sweeps + per-run output dirs (reference: Hydra basic sweeper via
+# src/train_diffusion.py:100-117, configs/hydra/default.yaml:8-11)
+# ---------------------------------------------------------------------------
+
+def test_expand_multirun_cartesian():
+    from packppi_tpu.utils.config import expand_multirun
+    jobs = expand_multirun(["model.lr=1e-4,3e-4", "seed=0,1", "trainer=debug"])
+    assert len(jobs) == 4
+    assert ["model.lr=1e-4", "seed=0", "trainer=debug"] in jobs
+    assert ["model.lr=3e-4", "seed=1", "trainer=debug"] in jobs
+
+
+def test_expand_multirun_brackets_not_split():
+    from packppi_tpu.utils.config import expand_multirun
+    jobs = expand_multirun(["data.split_fractions=[0.5,0.25,0.25],[0.8,0.1,0.1]"])
+    assert len(jobs) == 2
+    assert jobs[0] == ["data.split_fractions=[0.5,0.25,0.25]"]
+
+
+def test_make_run_dir_layout(tmp_path):
+    from packppi_tpu.utils.config import make_run_dir
+    single = make_run_dir(str(tmp_path), timestamp="2026-01-02_03-04-05",
+                          tags=["ablate", "v2"])
+    assert single == tmp_path / "runs" / "2026-01-02_03-04-05_ablate-v2"
+    assert single.is_dir()
+    m0 = make_run_dir(str(tmp_path), multirun=True, job=0,
+                      timestamp="2026-01-02_03-04-05")
+    m1 = make_run_dir(str(tmp_path), multirun=True, job=1,
+                      timestamp="2026-01-02_03-04-05")
+    assert m0.parent == m1.parent == tmp_path / "multiruns" / "2026-01-02_03-04-05"
+    assert {m0.name, m1.name} == {"0", "1"}
+
+
+def test_get_metric_value():
+    from packppi_tpu.utils.config import get_metric_value
+    assert get_metric_value({"val_loss": 0.5}, "val_loss") == 0.5
+    assert get_metric_value({"val_loss": 0.5}, None) is None
+    with pytest.raises(KeyError):
+        get_metric_value({"val_loss": 0.5}, "nope")
+
+
+def test_cli_multirun_end_to_end(tmp_path, monkeypatch):
+    """packppi-train-diffusion -m sweeps two seeds into separate run dirs
+    with echoed configs and a summary."""
+    import sys
+    from packppi_tpu.cli import train_diffusion as cli_mod
+
+    calls = []
+
+    def fake_train(cfg):
+        calls.append(cfg)
+        open(os.path.join(cfg.output_dir, "marker.txt"), "w").close()
+        return {"best_val_loss": 0.1 * (len(calls)), "test_loss": None}
+
+    monkeypatch.setattr(cli_mod, "_loader", lambda: fake_train)
+    monkeypatch.setattr(sys, "argv", [
+        "packppi-train-diffusion", "-m", "--platform", "cpu",
+        f"output_dir={tmp_path}", "seed=0,1",
+        "optimized_metric=best_val_loss"])
+    cli_mod.main()
+
+    assert len(calls) == 2
+    assert {c.seed for c in calls} == {0, 1}
+    run_dirs = sorted((tmp_path / "multiruns").glob("*/*/"))
+    assert len(run_dirs) == 2
+    for d in run_dirs:
+        assert (d / "config.yaml").exists()
+        assert (d / "marker.txt").exists()
+    summaries = list((tmp_path / "multiruns").glob("*/multirun_summary.json"))
+    assert len(summaries) == 1
+    rows = json.loads(summaries[0].read_text())
+    assert [r["optimized_metric"] for r in rows] == [0.1, 0.2]
