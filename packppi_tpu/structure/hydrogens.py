@@ -1,0 +1,368 @@
+"""Ideal hydrogen placement on atom14 structures (mini-Reduce).
+
+MolProbity's clashscore runs Probe over a hydrogenated model (the reference
+shells out to ``molprobity.clashscore keep_hydrogens=True``, reference:
+src/utils/protein_analysis.py:26-34). This module provides the offline
+equivalent of the H-addition step: ideal-geometry hydrogens placed from the
+heavy-atom coordinates with standard bond lengths and hybridization rules —
+tetrahedral completion for sp3 CH/CH2, staggered rotors for methyls /
+hydroxyls / NH3+, in-plane bisectors for sp2 CH/NH, and in-plane pairs for
+amide/guanidinium NH2. The NE2-H tautomer is used for neutral histidine and
+the N-terminus is protonated as NH3+ (Reduce's defaults).
+
+Everything is plain numpy over [L, 14] arrays — this is metric-time host
+code, not the training path.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from packppi_tpu.chem import ATOM14_NAMES, RESTYPE_1TO3, RESTYPES
+
+_RAW = json.loads((Path(__file__).parent.parent / "chem" / "chem_data.json").read_text())
+BONDS = _RAW["bonds"]                      # resname -> [[a, b, length, stddev], ...]
+HBOND_DONORS = set(_RAW["hbond_donor_atoms"]) | {"N"}
+HBOND_ACCEPTORS = set(_RAW["hbond_acceptor_atoms"]) | {"O"}
+
+# bond lengths to H by heavy element
+H_BOND_LENGTH = {"C": 1.09, "N": 1.01, "O": 0.96, "S": 1.34}
+_TETRA = np.deg2rad(109.471)
+
+# Side-chain hydrogen spec per 3-letter residue name:
+#   (heavy, nH, geom, refs)
+# geom:
+#   "t1"    1 H completing a tetrahedron; refs = 3 bonded heavy atoms
+#   "t2"    2 H completing a tetrahedron; refs = 2 bonded heavy atoms
+#   "rot"   nH staggered rotor H; refs = (bonded_parent, dihedral_ref)
+#   "sp2b"  1 H on the external bisector; refs = 2 bonded heavy atoms
+#   "sp2p"  2 H in-plane at 120 deg; refs = (bonded_parent, plane_ref)
+H_SPEC: dict[str, list] = {
+    "ALA": [("CB", 3, "rot", ("CA", "N"))],
+    "ARG": [("CB", 2, "t2", ("CA", "CG")), ("CG", 2, "t2", ("CB", "CD")),
+            ("CD", 2, "t2", ("CG", "NE")), ("NE", 1, "sp2b", ("CD", "CZ")),
+            ("NH1", 2, "sp2p", ("CZ", "NE")), ("NH2", 2, "sp2p", ("CZ", "NE"))],
+    "ASN": [("CB", 2, "t2", ("CA", "CG")), ("ND2", 2, "sp2p", ("CG", "CB"))],
+    "ASP": [("CB", 2, "t2", ("CA", "CG"))],
+    "CYS": [("CB", 2, "t2", ("CA", "SG")), ("SG", 1, "rot", ("CB", "CA"))],
+    "GLN": [("CB", 2, "t2", ("CA", "CG")), ("CG", 2, "t2", ("CB", "CD")),
+            ("NE2", 2, "sp2p", ("CD", "CG"))],
+    "GLU": [("CB", 2, "t2", ("CA", "CG")), ("CG", 2, "t2", ("CB", "CD"))],
+    "GLY": [],
+    "HIS": [("CB", 2, "t2", ("CA", "CG")), ("CD2", 1, "sp2b", ("CG", "NE2")),
+            ("CE1", 1, "sp2b", ("ND1", "NE2")), ("NE2", 1, "sp2b", ("CE1", "CD2"))],
+    "ILE": [("CB", 1, "t1", ("CA", "CG1", "CG2")), ("CG1", 2, "t2", ("CB", "CD1")),
+            ("CG2", 3, "rot", ("CB", "CA")), ("CD1", 3, "rot", ("CG1", "CB"))],
+    "LEU": [("CB", 2, "t2", ("CA", "CG")), ("CG", 1, "t1", ("CB", "CD1", "CD2")),
+            ("CD1", 3, "rot", ("CG", "CB")), ("CD2", 3, "rot", ("CG", "CB"))],
+    "LYS": [("CB", 2, "t2", ("CA", "CG")), ("CG", 2, "t2", ("CB", "CD")),
+            ("CD", 2, "t2", ("CG", "CE")), ("CE", 2, "t2", ("CD", "NZ")),
+            ("NZ", 3, "rot", ("CE", "CD"))],
+    "MET": [("CB", 2, "t2", ("CA", "CG")), ("CG", 2, "t2", ("CB", "SD")),
+            ("CE", 3, "rot", ("SD", "CG"))],
+    "PHE": [("CB", 2, "t2", ("CA", "CG")), ("CD1", 1, "sp2b", ("CG", "CE1")),
+            ("CD2", 1, "sp2b", ("CG", "CE2")), ("CE1", 1, "sp2b", ("CD1", "CZ")),
+            ("CE2", 1, "sp2b", ("CD2", "CZ")), ("CZ", 1, "sp2b", ("CE1", "CE2"))],
+    "PRO": [("CB", 2, "t2", ("CA", "CG")), ("CG", 2, "t2", ("CB", "CD")),
+            ("CD", 2, "t2", ("CG", "N"))],
+    "SER": [("CB", 2, "t2", ("CA", "OG")), ("OG", 1, "rot", ("CB", "CA"))],
+    "THR": [("CB", 1, "t1", ("CA", "OG1", "CG2")), ("OG1", 1, "rot", ("CB", "CA")),
+            ("CG2", 3, "rot", ("CB", "CA"))],
+    "TRP": [("CB", 2, "t2", ("CA", "CG")), ("CD1", 1, "sp2b", ("CG", "NE1")),
+            ("NE1", 1, "sp2b", ("CD1", "CE2")), ("CE3", 1, "sp2b", ("CD2", "CZ3")),
+            ("CZ2", 1, "sp2b", ("CE2", "CH2")), ("CZ3", 1, "sp2b", ("CE3", "CH2")),
+            ("CH2", 1, "sp2b", ("CZ2", "CZ3"))],
+    "TYR": [("CB", 2, "t2", ("CA", "CG")), ("CD1", 1, "sp2b", ("CG", "CE1")),
+            ("CD2", 1, "sp2b", ("CG", "CE2")), ("CE1", 1, "sp2b", ("CD1", "CZ")),
+            ("CE2", 1, "sp2b", ("CD2", "CZ")), ("OH", 1, "rot", ("CZ", "CE1"))],
+    "VAL": [("CB", 1, "t1", ("CA", "CG1", "CG2")), ("CG1", 3, "rot", ("CB", "CA")),
+            ("CG2", 3, "rot", ("CB", "CA"))],
+}
+
+
+def _unit(v):
+    return v / max(np.linalg.norm(v), 1e-9)
+
+
+def _tetra_one(x, n1, n2, n3, blen):
+    d = -_unit(_unit(n1 - x) + _unit(n2 - x) + _unit(n3 - x))
+    return [x + blen * d]
+
+
+def _tetra_two(x, n1, n2, blen):
+    ua, ub = _unit(n1 - x), _unit(n2 - x)
+    bis = -_unit(ua + ub)
+    perp = _unit(np.cross(ua, ub))
+    half = _TETRA / 2
+    return [x + blen * (np.cos(half) * bis + s * np.sin(half) * perp)
+            for s in (+1, -1)]
+
+
+def _sp2_bisector(x, n1, n2, blen):
+    return [x + blen * -_unit(_unit(n1 - x) + _unit(n2 - x))]
+
+
+def _sp2_pair(x, parent, plane_ref, blen):
+    w = _unit(x - parent)
+    r = plane_ref - parent
+    p = _unit(r - np.dot(r, w) * w)
+    c, s = np.cos(np.pi / 3), np.sin(np.pi / 3)
+    return [x + blen * (c * w + s * p), x + blen * (c * w - s * p)]
+
+
+def _rotor(x, parent, dref, blen, n_h, theta=_TETRA, phase=0.0):
+    """n_h H staggered about the parent->x axis: dihedral(dref, parent, x, H)
+    = 180, 60, -60 deg (plus ``phase``)."""
+    axis = _unit(x - parent)
+    r = dref - parent
+    p = _unit(r - np.dot(r, axis) * axis)
+    q = np.cross(axis, p)
+    out = []
+    for k in range(n_h):
+        phi = np.pi + phase + k * (2 * np.pi / 3)
+        d = np.cos(np.pi - theta) * axis + np.sin(np.pi - theta) * (
+            np.cos(phi) * p + np.sin(phi) * q)
+        out.append(x + blen * _unit(d))
+    return out
+
+
+def heavy_graph(prot):
+    """Flattened heavy atoms + bond graph of a parsed Protein.
+
+    Returns (coords [n,3], names, res_of, flat_index [L,14], sep) where
+    ``sep`` maps ordered index pairs (a<b) to their bond-path distance,
+    present only when <= 3 (Probe's exclusion horizon). Covers
+    within-residue bonds, peptide C-N links, and disulfide SG-SG pairs.
+    """
+    from packppi_tpu.chem import ATOM14_NAMES, RESTYPE_1TO3, RESTYPES
+
+    X = np.asarray(prot.atom_positions, np.float64)
+    mask = np.asarray(prot.atom_mask).astype(bool)
+    L = X.shape[0]
+    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
+                for i in prot.aaindex]
+
+    coords, names, res_of = [], [], []
+    flat_index = -np.ones((L, 14), np.int64)
+    for i in range(L):
+        rn = resnames[i]
+        if rn == "UNK":
+            continue
+        for s, nm in enumerate(ATOM14_NAMES[rn]):
+            if nm and mask[i, s]:
+                flat_index[i, s] = len(coords)
+                coords.append(X[i, s])
+                names.append(nm)
+                res_of.append(i)
+    n = len(coords)
+
+    adj: list[set] = [set() for _ in range(n)]
+
+    def link(a, b):
+        if a >= 0 and b >= 0:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    for i in range(L):
+        rn = resnames[i]
+        if rn == "UNK":
+            continue
+        name_to_slot = {nm: s for s, nm in enumerate(ATOM14_NAMES[rn]) if nm}
+        for a, b, *_ in BONDS.get(rn, []):
+            if a in name_to_slot and b in name_to_slot:
+                link(flat_index[i, name_to_slot[a]], flat_index[i, name_to_slot[b]])
+        if i + 1 < L and prot.chain_id[i] == prot.chain_id[i + 1] \
+                and flat_index[i, 2] >= 0 and flat_index[i + 1, 0] >= 0 \
+                and np.linalg.norm(X[i, 2] - X[i + 1, 0]) < 2.0:
+            link(flat_index[i, 2], flat_index[i + 1, 0])
+    sg = [k for k in range(n) if names[k] == "SG"]
+    for ii, a in enumerate(sg):
+        for b in sg[ii + 1:]:
+            if np.linalg.norm(coords[a] - coords[b]) < 2.5:
+                link(a, b)
+
+    sep: dict[tuple, int] = {}
+    for a in range(n):
+        frontier = {a}
+        seen = {a: 0}
+        for d in (1, 2, 3):
+            frontier = {m for f in frontier for m in adj[f] if m not in seen}
+            for m in frontier:
+                seen[m] = d
+        for m, d in seen.items():
+            if a < m:
+                sep[(a, m)] = d
+
+    return (np.asarray(coords, np.float64).reshape(-1, 3), names,
+            np.asarray(res_of, np.int64), flat_index, sep)
+
+
+def add_hydrogens(prot, optimize_rotors: bool = False) -> dict:
+    """Place ideal hydrogens on a parsed Protein.
+
+    Returns dict with:
+      positions [n_H, 3], parent_res [n_H], parent_atom14 [n_H] (slot of the
+      bonded heavy atom), polar [n_H] bool (bonded to N/O/S).
+    Residues missing a geometric reference atom (disordered side chains)
+    silently skip the affected hydrogens, as Reduce does.
+
+    ``optimize_rotors=True`` reproduces Reduce's rotatable-hydrogen search:
+    each rotor group (methyls, OH/SH, NH3+) is spun over candidate phases
+    and the phase minimizing steric overlap against the heavy-atom cloud
+    (bonded/1-3/1-4 and H-bondable contacts excluded) is kept.
+    """
+    X = np.asarray(prot.atom_positions, np.float64)
+    mask = np.asarray(prot.atom_mask).astype(bool)
+    L = X.shape[0]
+    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
+                for i in prot.aaindex]
+
+    pos, pres, pslot, polar = [], [], [], []
+    rotors = []  # (first_H_index, n_h, x, parent, dref, blen, symmetric)
+
+    def emit(i, slot_names, heavy, hs):
+        s = slot_names.index(heavy)
+        for h in hs:
+            pos.append(h)
+            pres.append(i)
+            pslot.append(s)
+            polar.append(heavy[0] in "NOS")
+
+    for i in range(L):
+        rn = resnames[i]
+        if rn == "UNK":
+            continue
+        names = ATOM14_NAMES[rn]
+        coords = {}
+        for s, nm in enumerate(names):
+            if nm and mask[i, s]:
+                coords[nm] = X[i, s]
+        if "CA" not in coords or "N" not in coords or "C" not in coords:
+            continue
+
+        blen_c = H_BOND_LENGTH["C"]
+        # backbone amide H / N-terminal NH3+
+        first_in_chain = i == 0 or prot.chain_id[i] != prot.chain_id[i - 1] or (
+            not mask[i - 1, 2]) or np.linalg.norm(X[i, 0] - X[i - 1, 2]) > 2.0
+        if rn != "PRO":
+            if first_in_chain:
+                rotors.append((len(pos), 3, coords["N"], coords["CA"], coords["C"],
+                               H_BOND_LENGTH["N"], True))
+                emit(i, names, "N", _rotor(coords["N"], coords["CA"], coords["C"],
+                                           H_BOND_LENGTH["N"], 3))
+            else:
+                emit(i, names, "N", _sp2_bisector(coords["N"], coords["CA"],
+                                                  X[i - 1, 2], H_BOND_LENGTH["N"]))
+        # CA hydrogens
+        if rn == "GLY":
+            emit(i, names, "CA", _tetra_two(coords["CA"], coords["N"], coords["C"], blen_c))
+        elif "CB" in coords:
+            emit(i, names, "CA",
+                 _tetra_one(coords["CA"], coords["N"], coords["C"], coords["CB"], blen_c))
+
+        for heavy, n_h, geom, refs in H_SPEC.get(rn, []):
+            if heavy not in coords or any(r not in coords for r in refs):
+                continue
+            blen = H_BOND_LENGTH[heavy[0]]
+            x = coords[heavy]
+            if geom == "t1":
+                hs = _tetra_one(x, *(coords[r] for r in refs), blen)
+            elif geom == "t2":
+                hs = _tetra_two(x, *(coords[r] for r in refs), blen)
+            elif geom == "sp2b":
+                hs = _sp2_bisector(x, *(coords[r] for r in refs), blen)
+            elif geom == "sp2p":
+                hs = _sp2_pair(x, *(coords[r] for r in refs), blen)
+            else:  # rot
+                rotors.append((len(pos), n_h, x, coords[refs[0]], coords[refs[1]],
+                               blen, n_h == 3))
+                hs = _rotor(x, coords[refs[0]], coords[refs[1]], blen, n_h)
+            emit(i, names, heavy, hs)
+
+    if optimize_rotors and rotors:
+        _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors)
+
+    return {
+        "positions": np.asarray(pos, np.float64).reshape(-1, 3),
+        "parent_res": np.asarray(pres, np.int64),
+        "parent_slot": np.asarray(pslot, np.int64),
+        "polar": np.asarray(polar, bool),
+    }
+
+
+def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
+                           n_phases: int = 12, cutoff: float = 4.0):
+    """Reduce-style rotatable-H search: spin each rotor group and keep the
+    phase with the least vdW interpenetration against nearby heavy atoms.
+
+    Exclusions mirror Probe's contact rules: heavy atoms <= 2 bonds from
+    the rotor's parent (the H is then <= 3 bonds away) never count, and
+    polar rotor H vs H-bond-acceptor contacts are neutral (they would be
+    scored as H-bonds, not clashes).
+    """
+    from packppi_tpu.utils.metrics import (
+        PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS, PROBE_RADII)
+
+    coords, names, res_of, flat_index, sep = heavy_graph(prot)
+    radii = np.asarray([PROBE_RADII.get(nm[0], 1.7) for nm in names])
+    acceptor = np.asarray([nm in HBOND_ACCEPTORS for nm in names])
+
+    # spatial grid over heavy atoms
+    cell = cutoff
+    keys = np.floor(coords / cell).astype(np.int64)
+    buckets: dict[tuple, list] = {}
+    for k in range(len(coords)):
+        buckets.setdefault(tuple(keys[k]), []).append(k)
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
+
+    def near(point):
+        key = tuple(np.floor(point / cell).astype(np.int64))
+        out = []
+        for off in offsets:
+            out.extend(buckets.get((key[0] + off[0], key[1] + off[1],
+                                    key[2] + off[2]), []))
+        return np.asarray(out, np.int64)
+
+    for first, n_h, x, parent_xyz, dref, blen, symmetric in rotors:
+        i = pres[first]
+        s = pslot[first]
+        parent_flat = int(flat_index[i, s])
+        if parent_flat < 0:
+            continue
+        is_polar = polar[first]
+        h_rad = PROBE_H_POLAR_RADIUS if is_polar else PROBE_H_RADIUS
+
+        cand = near(x)
+        if len(cand) == 0:
+            continue
+        # drop heavy atoms bonded within 2 of the parent (H adds one bond)
+        keep = []
+        for c in cand:
+            a, b = (parent_flat, int(c)) if parent_flat < c else (int(c), parent_flat)
+            if a == b or sep.get((a, b), 4) <= 2:
+                continue
+            if is_polar and acceptor[c]:
+                continue
+            keep.append(int(c))
+        if not keep:
+            continue
+        kc = coords[keep]
+        kr = radii[keep]
+
+        span = 2 * np.pi / 3 if symmetric else 2 * np.pi
+        best_phase, best_cost = 0.0, np.inf
+        for phase in np.linspace(0, span, n_phases, endpoint=False):
+            hs = _rotor(x, parent_xyz, dref, blen, n_h, phase=phase)
+            cost = 0.0
+            for h in hs:
+                gap = np.linalg.norm(kc - h, axis=-1) - (kr + h_rad)
+                cost += float(np.clip(-gap, 0, None).sum())
+            if cost < best_cost - 1e-12:
+                best_cost, best_phase = cost, phase
+        if best_phase != 0.0:
+            for k, h in enumerate(_rotor(x, parent_xyz, dref, blen, n_h,
+                                         phase=best_phase)):
+                pos[first + k] = h

@@ -39,8 +39,10 @@ class ProteinAnalysis:
 
     def get_clashscore(self, pdb: str) -> Optional[float]:
         """MolProbity clashscore via subprocess when the binary is configured;
-        otherwise the on-device approximation (flagged by is_exact=False on
-        get_metric output)."""
+        otherwise the native H-aware Probe-style count
+        (utils.metrics.probe_clashscore: ideal H placement with rotor
+        optimization + vdW overlap >= 0.4 A per 1000 atoms; flagged by
+        is_exact=False on get_metric output)."""
         if self.molprobity_clash_loc:
             out = subprocess.run(
                 [self.molprobity_clash_loc, f"model={pdb}", "keep_hydrogens=True"],
@@ -49,10 +51,8 @@ class ProteinAnalysis:
             if m:
                 return float(m.group(1))
             return None
-        prot = from_pdb_file(pdb, mse_to_met=True)
-        f = featurize(prot)
-        return approx_clashscore(f["X"][None], f["atom_mask"][None],
-                                 f["residue_type"][None], f["residue_index"][None])
+        from packppi_tpu.utils.metrics import probe_clashscore
+        return probe_clashscore(from_pdb_file(pdb, mse_to_met=True))
 
     # ---- metric suite -------------------------------------------------------
 

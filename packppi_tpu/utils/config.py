@@ -57,7 +57,15 @@ def _deep_merge(base: dict, extra: dict) -> dict:
 
 
 def _parse_value(s: str) -> Any:
-    return yaml.safe_load(s)
+    v = yaml.safe_load(s)
+    if isinstance(v, str):
+        # YAML 1.1 reads '3e-4' as a string (mantissa must be '3.0e-4');
+        # accept the common scientific shorthand like Hydra does
+        try:
+            return float(v)
+        except ValueError:
+            pass
+    return v
 
 
 _INTERP = re.compile(r"^\$\{([a-zA-Z0-9_.]+)\}$")

@@ -70,6 +70,103 @@ def mean_squared_atom_deviation(true_coords, pred_coords, atom_mask, residue_mas
     return sq.sum() / (m + eps).sum()
 
 
+PROBE_RADII = {"C": 1.70, "N": 1.625, "O": 1.480, "S": 1.782, "P": 1.871}
+PROBE_H_RADIUS = 1.17       # H bonded to carbon (Word et al. 1999 e-cloud radii)
+PROBE_H_POLAR_RADIUS = 1.05  # H bonded to N/O/S
+SERIOUS_OVERLAP = 0.4        # MolProbity 'clashscore' threshold, Angstrom
+
+
+def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP) -> float:
+    """H-aware clashscore: serious steric overlaps per 1000 atoms,
+    Probe/MolProbity semantics (reference shells out to
+    ``molprobity.clashscore keep_hydrogens=True``,
+    src/utils/protein_analysis.py:26-34; here computed natively).
+
+    Steps: place ideal hydrogens (structure.hydrogens, the Reduce step),
+    then count unique atom pairs whose van-der-Waals shells interpenetrate
+    by >= ``overlap`` A using Probe's e-cloud radii — excluding pairs within
+    3 bonds of each other (incl. the peptide C-N link and disulfides) and
+    hydrogen-bond donor-H/acceptor contacts, which Probe scores as H-bonds
+    rather than clashes. Denominator counts ALL atoms including the placed
+    hydrogens, as MolProbity does.
+
+    Pure numpy with a 3 A cell list; metric-time host code. See PARITY.md
+    for the documented error bound vs the real MolProbity binary.
+    """
+    from packppi_tpu.structure.hydrogens import HBOND_ACCEPTORS, add_hydrogens, heavy_graph
+
+    coords_arr, names, res_of, flat_index, heavy_dist = heavy_graph(prot)
+    coords = list(coords_arr)
+    radii = [PROBE_RADII.get(nm[0], 1.7) for nm in names]
+    acceptor = [nm in HBOND_ACCEPTORS for nm in names]
+    n_heavy = len(coords)
+
+    # ---- append hydrogens (with Reduce-style rotor optimization) --------
+    hyd = add_hydrogens(prot, optimize_rotors=True)
+    h_parent = [int(flat_index[r, s]) for r, s in
+                zip(hyd["parent_res"], hyd["parent_slot"])]
+    all_coords = np.concatenate([np.asarray(coords).reshape(-1, 3),
+                                 hyd["positions"]], 0)
+    all_radii = np.concatenate([
+        np.asarray(radii),
+        np.where(hyd["polar"], PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS)])
+    n_all = len(all_coords)
+    is_h = np.arange(n_all) >= n_heavy
+    parent = np.concatenate([np.arange(n_heavy), np.asarray(h_parent, np.int64)])
+    is_polar_h = np.concatenate([np.zeros(n_heavy, bool), hyd["polar"]])
+    is_acceptor = np.concatenate([np.asarray(acceptor, bool),
+                                  np.zeros(len(h_parent), bool)])
+
+    def bond_sep(a, b):
+        """Bond-path distance, capped at 4 (anything > 3 is 'far')."""
+        pa, pb = parent[a], parent[b]
+        base = heavy_dist.get((min(pa, pb), max(pa, pb)))
+        if pa == pb:
+            base = 0
+        if base is None:
+            return 4
+        return base + int(is_h[a]) + int(is_h[b])
+
+    # ---- cell-list pair sweep -------------------------------------------
+    cell = 3.1  # max contact distance: 1.782*2 - 0.4 = 3.16 ~ use 3.2 guard
+    cell = 3.2
+    keys = np.floor(all_coords / cell).astype(np.int64)
+    buckets: dict[tuple, list] = {}
+    for k in range(n_all):
+        buckets.setdefault(tuple(keys[k]), []).append(k)
+
+    n_clashes = 0
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
+    for key, members in buckets.items():
+        neigh = []
+        for off in offsets:
+            neigh.extend(buckets.get((key[0] + off[0], key[1] + off[1],
+                                      key[2] + off[2]), []))
+        ma = np.asarray(members)
+        na = np.asarray(neigh)
+        d = np.linalg.norm(all_coords[ma][:, None] - all_coords[na][None], axis=-1)
+        gap = d - (all_radii[ma][:, None] + all_radii[na][None])
+        cand = np.argwhere(gap <= -overlap)
+        for ci, cj in cand:
+            a, b = int(ma[ci]), int(na[cj])
+            if a >= b:
+                continue  # each unordered pair once (same-bucket dedup)
+            if bond_sep(a, b) <= 3:
+                continue
+            # H-bond: polar H against an acceptor (Probe scores these as
+            # H-bonds, not clashes)
+            if (is_polar_h[a] and is_acceptor[b]) or (is_polar_h[b] and is_acceptor[a]):
+                continue
+            n_clashes += 1
+    return 1000.0 * n_clashes / max(n_all, 1)
+
+
+def _safe_restype(idx):
+    from packppi_tpu.chem import RESTYPES
+    return RESTYPES[idx] if idx < len(RESTYPES) else "?"
+
+
 def approx_clashscore(positions, atom_exists, residue_type, residue_index,
                       overlap: float = 0.4, block: int = 128) -> float:
     """Serious steric overlaps (>= ``overlap`` A vdW interpenetration) per

@@ -222,3 +222,12 @@ def test_cli_multirun_end_to_end(tmp_path, monkeypatch):
     assert len(summaries) == 1
     rows = json.loads(summaries[0].read_text())
     assert [r["optimized_metric"] for r in rows] == [0.1, 0.2]
+
+
+def test_override_scientific_notation():
+    """'3e-4' is a YAML-1.1 string; overrides must still coerce it to float
+    (Hydra-compatible)."""
+    cfg = load_config(os.path.join(CONFIG_DIR, "train_diffusion.yaml"),
+                      ["trainer.lr=3e-4", "task_name=still_a_string"])
+    assert cfg.trainer.lr == 3e-4 and isinstance(cfg.trainer.lr, float)
+    assert cfg.task_name == "still_a_string"

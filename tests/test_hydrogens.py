@@ -1,0 +1,140 @@
+"""Ideal hydrogen placement (mini-Reduce) + Probe-style clashscore tests.
+
+The reference obtains its clashscore from the MolProbity binary with
+``keep_hydrogens=True`` (reference: src/utils/protein_analysis.py:26-34);
+our offline equivalent places ideal hydrogens and counts vdW overlaps.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from packppi_tpu.chem import RESTYPE_1TO3, RESTYPES
+from packppi_tpu.structure import from_pdb_file
+from packppi_tpu.structure.hydrogens import H_BOND_LENGTH, add_hydrogens, heavy_graph
+from packppi_tpu.utils.metrics import probe_clashscore
+
+FIXTURE = "tests/fixtures/1brs.pdb"
+
+# residue-formula hydrogen counts for a mid-chain residue at standard
+# protonation (amide H + HA + side chain; NE2 tautomer for HIS)
+EXPECTED_H = {
+    "ALA": 5, "ARG": 13, "ASN": 6, "ASP": 4, "CYS": 5, "GLN": 8, "GLU": 6,
+    "GLY": 3, "HIS": 7, "ILE": 11, "LEU": 11, "LYS": 13, "MET": 9, "PHE": 9,
+    "PRO": 7, "SER": 5, "THR": 7, "TRP": 10, "TYR": 9, "VAL": 9,
+}
+
+
+@pytest.fixture(scope="module")
+def prot():
+    return from_pdb_file(FIXTURE, mse_to_met=True)
+
+
+@pytest.fixture(scope="module")
+def hyd(prot):
+    return add_hydrogens(prot)
+
+
+def test_per_residue_hydrogen_counts(prot, hyd):
+    """Mid-chain residues with complete side chains carry exactly the
+    molecular-formula hydrogen count."""
+    mask = np.asarray(prot.atom_mask)
+    counts = np.bincount(hyd["parent_res"], minlength=len(prot.aaindex))
+    checked = set()
+    for i in range(1, len(prot.aaindex)):
+        rn = RESTYPE_1TO3[RESTYPES[prot.aaindex[i]]]
+        from packppi_tpu.chem import ATOM14_NAMES
+        names = ATOM14_NAMES[rn]
+        complete = all(mask[i, s] for s, nm in enumerate(names) if nm)
+        # chain start OR chain break (no peptide bond to i-1) gets NH3+
+        first = (prot.chain_id[i] != prot.chain_id[i - 1]
+                 or not mask[i - 1, 2]
+                 or np.linalg.norm(prot.atom_positions[i, 0]
+                                   - prot.atom_positions[i - 1, 2]) > 2.0)
+        if complete and not first and rn in EXPECTED_H:
+            assert counts[i] == EXPECTED_H[rn], (i, rn, counts[i])
+            checked.add(rn)
+    assert len(checked) >= 15  # 1brs covers most residue types
+
+
+def test_nterm_gets_nh3(prot, hyd):
+    counts = np.bincount(hyd["parent_res"] * 100 + hyd["parent_slot"])
+    # residue 0 slot 0 (N) carries 3 hydrogens at a chain start
+    assert counts[0] == 3
+
+
+def test_bond_lengths(prot, hyd):
+    X = np.asarray(prot.atom_positions)
+    parent_xyz = X[hyd["parent_res"], hyd["parent_slot"]]
+    d = np.linalg.norm(hyd["positions"] - parent_xyz, axis=-1)
+    assert d.min() > 0.9 and d.max() < 1.4  # within [O-H 0.96, S-H 1.34]
+    # carbon hydrogens exactly at 1.09
+    nonpolar = ~hyd["polar"]
+    np.testing.assert_allclose(d[nonpolar], H_BOND_LENGTH["C"], atol=1e-6)
+
+
+def test_no_h_overlaps_own_parent_neighbors(prot, hyd):
+    """Placed H must not sit on top of the parent's bonded heavy atoms
+    (tetrahedral/sp2 geometry sanity)."""
+    coords, names, res_of, flat_index, sep = heavy_graph(prot)
+    parent_flat = flat_index[hyd["parent_res"], hyd["parent_slot"]]
+    # distance from each H to every heavy atom bonded to its parent
+    bonded = {}
+    for (a, b), d in sep.items():
+        if d == 1:
+            bonded.setdefault(a, []).append(b)
+            bonded.setdefault(b, []).append(a)
+    bad = 0
+    for k in range(len(hyd["positions"])):
+        for nb in bonded.get(int(parent_flat[k]), []):
+            if np.linalg.norm(hyd["positions"][k] - coords[nb]) < 1.2:
+                bad += 1
+    assert bad == 0
+
+
+def test_rotor_optimization_reduces_clashscore(prot):
+    base = _count_with(prot, optimize=False)
+    opt = _count_with(prot, optimize=True)
+    assert opt <= base
+
+
+def _count_with(prot, optimize):
+    import packppi_tpu.structure.hydrogens as hmod
+    import packppi_tpu.utils.metrics as mmod
+
+    orig = hmod.add_hydrogens
+    try:
+        hmod_add = lambda p, optimize_rotors=False: orig(p, optimize_rotors=optimize)
+        mmod_probe = mmod.probe_clashscore
+        # patch through the module attr the metric imports at call time
+        hmod.add_hydrogens = hmod_add
+        return mmod_probe(prot)
+    finally:
+        hmod.add_hydrogens = orig
+
+
+def test_clashscore_deterministic_and_plausible(prot):
+    a = probe_clashscore(prot)
+    b = probe_clashscore(prot)
+    assert a == b
+    assert 0.0 < a < 100.0  # 1brs (1994, 2.0 A) scores high but finite
+
+
+def test_injected_clash_increases_score(prot):
+    """Pushing chain D into chain A must raise the clashscore."""
+    base = probe_clashscore(prot)
+    chain_d = prot.chain_id == prot.chain_id[-1]
+    center_a = prot.atom_positions[~chain_d][:, 1].mean(0)
+    center_d = prot.atom_positions[chain_d][:, 1].mean(0)
+    shift = (center_a - center_d) * 0.5
+    newX = prot.atom_positions.copy()
+    newX[chain_d] += shift
+    crashed = dataclasses.replace(prot, atom_positions=newX)
+    assert probe_clashscore(crashed) > base
+
+
+def test_hbond_pairs_not_counted():
+    """A backbone-like N-H...O contact at H-bond distance is exempt."""
+    prot = from_pdb_file(FIXTURE, mse_to_met=True)
+    from packppi_tpu.structure.hydrogens import HBOND_ACCEPTORS
+    assert "O" in HBOND_ACCEPTORS and "OD1" in HBOND_ACCEPTORS
