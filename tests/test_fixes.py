@@ -153,3 +153,24 @@ def test_degenerate_dihedral_matches_reference():
     ours = np.asarray(dihedral_from_four_points(*[jnp.asarray(p) for p in pts]))
     theirs = reference(*[torch.from_numpy(p) for p in pts]).numpy()
     np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def test_skempi_mini_fixture_loads():
+    """The committed real-SKEMPI subset (1BRS + 2FTL mutations from the
+    SKEMPI-v2 CSV) loads with complex-grouped CV folds — the corpus behind
+    the real-data affinity training evidence in PARITY.md."""
+    import os
+    from packppi_tpu.data.skempi import cv_split, load_skempi_entries
+
+    d = os.path.join(os.path.dirname(__file__), "fixtures", "skempi_mini")
+    entries = load_skempi_entries(d, "PDBs")
+    assert len(entries) == 126
+    by_pdb = {}
+    for e in entries:
+        by_pdb.setdefault(e["pdb_id"], 0)
+        by_pdb[e["pdb_id"]] += 1
+    assert by_pdb == {"1BRS": 94, "2FTL": 32}
+    sp = cv_split(entries, 3, 0, 42)
+    train_cplx = {e["pdb_id"] for e in sp["train"]}
+    val_cplx = {e["pdb_id"] for e in sp["valid"]}
+    assert train_cplx.isdisjoint(val_cplx)  # leave-complex-out
