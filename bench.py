@@ -5,11 +5,13 @@ diffusion network evaluations (one lax.scan) + torsion->atom14 coordinate
 reconstruction, on the T1124 complex (739 residues) — the reference's own
 worked example (reference: README.md:84-97).
 
-``vs_baseline``: the reference publishes no timing, so the baseline is an
-ESTIMATED 3.0 s per complex for the reference pipeline on an A100-class GPU
-(30 sequential CUDA network evals, each with two host<->device numpy
-score-table syncs; see BASELINE.md). vs_baseline = estimate / measured, so
-values > 1 mean faster than the assumed reference.
+``vs_baseline``: the reference publishes no timing, so the baseline is the
+MEASURED runtime of the reference's own sampling loop on this same
+workload: 47.10 s for the full 30-eval T1124 sampling, torch CPU
+(single-core host), measured by tools/bench_reference.py on 2026-08-16
+(see BASELINE.md, which also derives a 0.5-3 s A100-class bound from the
+17.4 GFLOP/eval count). vs_baseline = measured reference / measured ours;
+``baseline_source`` says exactly what the denominator is.
 
 Prints exactly one JSON line.
 """
@@ -22,7 +24,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))  # repo-root import
 
-ASSUMED_REFERENCE_SECONDS = 3.0
+# tools/bench_reference.py, T1124 30-step sampling, torch CPU, this host
+MEASURED_REFERENCE_SECONDS = 47.10
+BASELINE_SOURCE = "measured: reference sampling() on T1124, torch CPU 1-core host (tools/bench_reference.py 2026-08-16); A100-class bound 0.5-3s, see BASELINE.md"
 
 
 def _timeit(fn) -> float:
@@ -83,7 +87,8 @@ def main() -> None:
         "metric": "t1124_pack_latency",
         "value": round(value, 4),
         "unit": "s",
-        "vs_baseline": round(ASSUMED_REFERENCE_SECONDS / value, 2),
+        "vs_baseline": round(MEASURED_REFERENCE_SECONDS / value, 2),
+        "baseline_source": BASELINE_SOURCE,
     }))
 
 

@@ -20,7 +20,7 @@ sys.path.insert(0, str(REPO))
 
 # peak dense matmul throughput, FLOP/s
 PEAKS = {
-    "tpu v5e": {"bf16": 394e12, "f32": 98.5e12},  # v5e (TPU v5 lite) per chip
+    "tpu v5 lite": {"bf16": 394e12, "f32": 98.5e12},  # v5e per chip
 }
 
 
@@ -66,6 +66,18 @@ def main():
         return atom14_coords_from_torsions(
             batch.X, batch.residue_type, batch.BB_D, sc).sum()
 
+    # XLA cost analysis counts a lax.scan body ONCE, so the 30-step pack's
+    # true FLOPs are static-encode + 30 x per-step eval, counted separately
+    static = model.encode_static(params, batch)
+
+    def step_eval(params, batch, sc, t):
+        score, _ = model.apply(params, batch, sc, t, deterministic=True,
+                               static=static, skip_last_edge_update=True)
+        return score.sum()
+
+    def encode_only(params, batch):
+        return jax.tree.map(lambda x: x.sum(), model.encode_static(params, batch))
+
     def train_step(params, key, batch):
         return jax.value_and_grad(lambda p: model.loss(p, key, batch))(params)[0]
 
@@ -75,6 +87,8 @@ def main():
     out = {}
     for name, fn, fargs in [
         ("network_eval", net_eval, (params, batch, sc0, t0)),
+        ("step_eval", step_eval, (params, batch, sc0, t0)),
+        ("encode_static", encode_only, (params, batch)),
         ("pack_30steps", pack, (params, jax.random.key(0), batch)),
         ("train_step", train_step, (params, jax.random.key(0), batch)),
     ]:
@@ -89,6 +103,10 @@ def main():
         out[name] = {"flops": flops, "seconds": round(secs, 5),
                      "achieved_flops_per_s": round(flops / secs, 1)}
 
+    # corrected whole-pack FLOPs (scan body counted once by XLA)
+    out["pack_30steps"]["flops_corrected"] = (
+        out["encode_static"]["flops"] + 30 * out["step_eval"]["flops"])
+
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "unknown").lower()
     peak = None
@@ -98,9 +116,16 @@ def main():
             break
     out["device_kind"] = kind
     if peak:
+        # per-call timings above include the device-tunnel round trip
+        # (~25-30 ms on this dev box); the honest on-chip MFU uses the
+        # amortized per-pack latency from bench.py (scan of 16 packs)
         for name in ("network_eval", "pack_30steps", "train_step"):
-            out[name]["mfu_bf16_peak"] = round(
-                out[name]["achieved_flops_per_s"] / peak["bf16"], 5)
+            f = out[name].get("flops_corrected", out[name]["flops"])
+            out[name]["mfu_bf16_peak_tunnel_timed"] = round(
+                f / out[name]["seconds"] / peak["bf16"], 5)
+        bench_pack_s = 0.0466  # BENCH_r01 amortized on-chip per-pack time
+        out["pack_30steps"]["mfu_bf16_peak_amortized"] = round(
+            out["pack_30steps"]["flops_corrected"] / bench_pack_s / peak["bf16"], 5)
     print(json.dumps(out))
     (REPO / "cache" / "flops_report.json").write_text(json.dumps(out))
 
