@@ -174,3 +174,62 @@ def test_skempi_mini_fixture_loads():
     train_cplx = {e["pdb_id"] for e in sp["train"]}
     val_cplx = {e["pdb_id"] for e in sp["valid"]}
     assert train_cplx.isdisjoint(val_cplx)  # leave-complex-out
+
+
+def test_train_affinity_esm_mode_end_to_end(tmp_path):
+    """ESM-mode affinity training runs end to end on precomputed embeddings
+    (reference: configs/experiment/affinity_esm.yaml) — real skempi_mini
+    entries, synthetic cached [L,1280] features, finite losses, checkpoint
+    written."""
+    import os
+
+    import numpy as np
+
+    from packppi_tpu.data.skempi import load_skempi_entries
+    from packppi_tpu.train.loop import train_affinity
+    from packppi_tpu.utils.config import Config, load_config
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "skempi_mini")
+    data_dir = tmp_path / "skempi"
+    data_dir.mkdir()
+    (data_dir / "skempi_v2.csv").write_text(
+        open(os.path.join(fix, "skempi_v2.csv")).read())
+    pdbs = data_dir / "PDBs"
+    pdbs.mkdir()
+    for n in ("1BRS", "2FTL"):
+        (pdbs / f"{n}.pdb").symlink_to(os.path.join(fix, "PDBs", f"{n}.pdb"))
+
+    # trim the CSV to 4 mutations per complex (both CV folds non-empty),
+    # THEN seed the embedding cache with the post-trim entry ids
+    import pandas as pd
+    df = pd.read_csv(data_dir / "skempi_v2.csv", sep=";")
+    pdbcode = df["#Pdb"].str.split("_").str[0]
+    keep = pd.concat([df[pdbcode == "1BRS"].head(4),
+                      df[pdbcode == "2FTL"].head(4)])
+    keep.to_csv(data_dir / "skempi_v2.csv", sep=";", index=False)
+
+    cache = data_dir / "dataset_cache"
+    cache.mkdir()
+    rng = np.random.default_rng(0)
+    entries = load_skempi_entries(str(data_dir), "PDBs")
+    assert len(entries) == 8
+    for e in entries:
+        L = 195 if e["pdb_id"] == "1BRS" else 280
+        np.savez_compressed(
+            cache / f"esm_{e['pdb_id']}_{e['id']}.npz",
+            wt=rng.normal(size=(L, 1280)).astype(np.float32),
+            mut=rng.normal(size=(L, 1280)).astype(np.float32))
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = load_config(os.path.join(cfg_dir, "train_affinity.yaml"), [
+        f"output_dir={tmp_path / 'out'}",
+        f"data.data_dir={data_dir}",
+        "model.mode=esm",
+        "data.num_cvfolds=2",
+        "trainer.max_epochs=2",
+        "data.batch_size=2",
+        "seed=0",
+    ])
+    result = train_affinity(cfg)
+    assert np.isfinite(result["best_val_loss"])
+    assert result["best_ckpt"] is not None
