@@ -26,4 +26,5 @@ def test_bench_module_importable():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert callable(mod.main)
-    assert mod.ASSUMED_REFERENCE_SECONDS > 0
+    assert mod.MEASURED_REFERENCE_SECONDS > 0
+    assert "measured" in mod.BASELINE_SOURCE
