@@ -128,8 +128,7 @@ def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP) -> float:
         return base + int(is_h[a]) + int(is_h[b])
 
     # ---- cell-list pair sweep -------------------------------------------
-    cell = 3.1  # max contact distance: 1.782*2 - 0.4 = 3.16 ~ use 3.2 guard
-    cell = 3.2
+    cell = 3.2  # > max contact distance 2*1.782 - 0.4 = 3.16
     keys = np.floor(all_coords / cell).astype(np.int64)
     buckets: dict[tuple, list] = {}
     for k in range(n_all):
