@@ -233,3 +233,18 @@ def test_train_affinity_esm_mode_end_to_end(tmp_path):
     result = train_affinity(cfg)
     assert np.isfinite(result["best_val_loss"])
     assert result["best_ckpt"] is not None
+
+
+def test_scripts_argparse_smoke():
+    """Every data/baseline script parses --help (import-clean even when its
+    external tool is absent)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for s in ("download_complex", "structural_leakage_check",
+              "rosetta_baseline", "decoy_analysis"):
+        r = subprocess.run([sys.executable, os.path.join(root, "scripts", f"{s}.py"),
+                            "--help"], capture_output=True, timeout=120)
+        assert r.returncode == 0, (s, r.stderr[-300:])
