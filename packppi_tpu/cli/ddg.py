@@ -13,9 +13,15 @@ from pathlib import Path
 
 def build_parser():
     p = argparse.ArgumentParser(description="PackPPI-TPU ddG prediction")
-    p.add_argument("--input", required=True, help="wild-type complex PDB")
-    p.add_argument("--mutstr", required=True,
+    p.add_argument("--input", default=None, help="wild-type complex PDB")
+    p.add_argument("--mutstr", default=None,
                    help="comma-separated mutations, e.g. KI15G or KA25A,DD35A")
+    p.add_argument("--eval_csv", default=None, metavar="DATA_DIR",
+                   help="dataset mode: evaluate every mutation in "
+                        "DATA_DIR/skempi_v2.csv (PDBs under DATA_DIR/PDBs), "
+                        "reporting pearson/spearman/RMSE vs experimental ddG")
+    p.add_argument("--batch_size", type=int, default=4,
+                   help="dataset mode: mutations per device batch")
     p.add_argument("--ckpt", default=None, help="affinity-net checkpoint")
     p.add_argument("--pre_ckpt", default=None, help="pretrained diffusion checkpoint")
     p.add_argument("--mode", default="network", choices=["network", "linear", "esm"])
@@ -26,6 +32,84 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)
     return p
+
+
+def run_eval_csv(args) -> dict:
+    """Dataset mode: predict ddG for every mutation in a SKEMPI-format CSV
+    and report correlation metrics against the experimental values
+    (complements the reference, which only evaluates during training)."""
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(args.platform)
+    import jax
+    import numpy as np
+
+    from packppi_tpu.data.loader import BucketedLoader
+    from packppi_tpu.data.skempi import (load_skempi_entries, skempi_features,
+                                         stack_affinity_batch)
+    from packppi_tpu.models import NetworkConfig
+    from packppi_tpu.models.affinity import AffinityModel
+    from packppi_tpu.structure import from_pdb_file
+    from packppi_tpu.train import load_model_params
+
+    entries = load_skempi_entries(args.eval_csv, "PDBs")
+    if not entries:
+        raise SystemExit(f"no usable SKEMPI entries under {args.eval_csv}")
+
+    class DS:
+        def __len__(self):
+            return len(entries)
+
+        def __getitem__(self, i):
+            e = entries[i]
+            return skempi_features(from_pdb_file(e["pdb_path"], mse_to_met=True),
+                                   e["mutations"], ddg=e["ddG"])
+
+    loader = BucketedLoader(DS(), args.batch_size, shuffle=False, drop_last=False,
+                            prefetch=2, stack_fn=stack_affinity_batch)
+
+    model = AffinityModel.create(NetworkConfig(), mode=args.mode)
+    key = jax.random.key(args.seed)
+    k_bb, k_net = jax.random.split(key)
+    first = next(iter(loader))
+
+    if args.pre_ckpt:
+        template = jax.eval_shape(lambda: model.backbone.init(jax.random.key(0), first.wild()))
+        backbone_params = load_model_params(args.pre_ckpt, template)
+    else:
+        print("WARNING: no --pre_ckpt; using randomly initialized diffusion backbone")
+        backbone_params = model.backbone.init(k_bb, first.wild())
+    if args.ckpt:
+        template = jax.eval_shape(lambda: model.init(jax.random.key(0), first, backbone_params))
+        params = load_model_params(args.ckpt, template)
+    else:
+        print("WARNING: no --ckpt; using randomly initialized affinity net")
+        params = model.init(k_net, first, backbone_params)
+
+    predict = jax.jit(lambda p, bp, b: model.predict(p, bp, b)[0])
+    preds, labels = [], []
+    for batch in loader:
+        preds.append(np.asarray(predict(params, backbone_params, batch)))
+        labels.append(np.asarray(batch.ddg))
+    p = np.concatenate(preds)[: len(entries)]
+    y = np.concatenate(labels)[: len(entries)]
+
+    out = {"n": len(entries),
+           "rmse": float(np.sqrt(np.mean((p - y) ** 2))),
+           "mae": float(np.mean(np.abs(p - y)))}
+    if len(p) > 2 and p.std() > 0 and y.std() > 0:
+        out["pearson"] = float(np.corrcoef(p, y)[0, 1])
+        rp, ry = np.argsort(np.argsort(p)), np.argsort(np.argsort(y))
+        out["spearman"] = float(np.corrcoef(rp, ry)[0, 1])
+    print(json.dumps(out))
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    with open(outdir / "ddg_eval.jsonl", "w") as f:
+        for e, pi, yi in zip(entries, p, y):
+            f.write(json.dumps({"complex": e["complex"], "mutstr": e["mutstr"],
+                                "ddg_pred": float(pi), "ddg_exp": float(yi)}) + "\n")
+    (outdir / "ddg_eval_summary.json").write_text(json.dumps(out))
+    return out
 
 
 def run(args) -> float:
@@ -110,7 +194,14 @@ def run(args) -> float:
 
 
 def main():
-    run(build_parser().parse_args())
+    args = build_parser().parse_args()
+    if args.eval_csv:
+        run_eval_csv(args)
+        return
+    if not args.input or not args.mutstr:
+        build_parser().error("--input and --mutstr are required "
+                             "(or use --eval_csv DATA_DIR)")
+    run(args)
 
 
 if __name__ == "__main__":

@@ -96,3 +96,36 @@ def test_pack_cli_best_of_n(tmp_path):
     metrics = run(args)
     assert (tmp_path / "structure.pdb").exists()
     assert np.isfinite(metrics["clashscore"])
+
+
+def test_ddg_eval_csv_mode(tmp_path):
+    """Dataset evaluation: --eval_csv predicts every CSV mutation and
+    reports correlation metrics + per-mutation JSONL."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from packppi_tpu.cli.ddg import build_parser, run_eval_csv
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "skempi_mini")
+    data_dir = tmp_path / "skempi"
+    (data_dir / "PDBs").mkdir(parents=True)
+    df = pd.read_csv(os.path.join(fix, "skempi_v2.csv"), sep=";")
+    pdbcode = df["#Pdb"].str.split("_").str[0]
+    pd.concat([df[pdbcode == "1BRS"].head(3),
+               df[pdbcode == "2FTL"].head(2)]).to_csv(
+        data_dir / "skempi_v2.csv", sep=";", index=False)
+    for n in ("1BRS", "2FTL"):
+        (data_dir / "PDBs" / f"{n}.pdb").symlink_to(
+            os.path.join(fix, "PDBs", f"{n}.pdb"))
+
+    args = build_parser().parse_args([
+        "--eval_csv", str(data_dir), "--outdir", str(tmp_path / "out"),
+        "--batch_size", "2", "--platform", "cpu"])
+    out = run_eval_csv(args)
+    assert out["n"] == 5
+    assert "rmse" in out and out["rmse"] > 0
+    rows = [json.loads(l) for l in open(tmp_path / "out" / "ddg_eval.jsonl")]
+    assert len(rows) == 5
+    assert {r["complex"].split("_")[0] for r in rows} == {"1BRS", "2FTL"}
