@@ -389,6 +389,12 @@ def train_affinity(cfg) -> dict:
 
     key = jax.random.key(cfg.seed)
     key, kb, kn = jax.random.split(key, 3)
+    if len(loaders["train"]) == 0:
+        raise SystemExit(
+            f"train split ({len(splits['train'])} mutations) yields no full "
+            f"batches at global batch {global_batch} "
+            f"(data.batch_size x {max(1, n_devices)} devices) — lower "
+            "data.batch_size or trainer.n_devices")
     init_batch = next(iter(loaders["train"]))
     if cfg.get("pre_checkpoint_path"):
         template = jax.eval_shape(lambda: model.backbone.init(jax.random.key(0), init_batch.wild()))
@@ -396,6 +402,12 @@ def train_affinity(cfg) -> dict:
     else:
         log.warning("no pre_checkpoint_path: affinity training on a random backbone")
         backbone_params = model.backbone.init(kb, init_batch.wild())
+    # the frozen backbone is part of the model: persist it so the run's
+    # affinity checkpoints are self-contained (packppi-ddg --pre_ckpt
+    # <out>/backbone reproduces inference regardless of where the backbone
+    # came from)
+    from packppi_tpu.train.checkpoints import save_params
+    save_params(out / "backbone", backbone_params)
 
     params = model.init(kn, init_batch, backbone_params)
     optimizer = optax.adamw(cfg.trainer.lr, weight_decay=cfg.trainer.weight_decay)

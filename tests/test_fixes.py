@@ -248,3 +248,56 @@ def test_scripts_argparse_smoke():
         r = subprocess.run([sys.executable, os.path.join(root, "scripts", f"{s}.py"),
                             "--help"], capture_output=True, timeout=120)
         assert r.returncode == 0, (s, r.stderr[-300:])
+
+
+def test_train_affinity_saves_backbone_artifact(tmp_path):
+    """Network-mode affinity training persists its frozen backbone to
+    <out>/backbone so checkpoints are self-contained for packppi-ddg
+    (--pre_ckpt <out>/backbone), even with a random backbone."""
+    import os
+
+    import pandas as pd
+
+    from packppi_tpu.train.loop import train_affinity
+    from packppi_tpu.utils.config import load_config
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "skempi_mini")
+    data_dir = tmp_path / "skempi"
+    (data_dir / "PDBs").mkdir(parents=True)
+    df = pd.read_csv(os.path.join(fix, "skempi_v2.csv"), sep=";")
+    pdbcode = df["#Pdb"].str.split("_").str[0]
+    pd.concat([df[pdbcode == "1BRS"].head(3),
+               df[pdbcode == "2FTL"].head(3)]).to_csv(
+        data_dir / "skempi_v2.csv", sep=";", index=False)
+    for n in ("1BRS", "2FTL"):
+        (data_dir / "PDBs" / f"{n}.pdb").symlink_to(
+            os.path.join(fix, "PDBs", f"{n}.pdb"))
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    out = tmp_path / "out"
+    cfg = load_config(os.path.join(cfg_dir, "train_affinity.yaml"), [
+        f"output_dir={out}", f"data.data_dir={data_dir}",
+        "data.num_cvfolds=2", "data.batch_size=2", "trainer.n_devices=1",
+        "trainer.max_epochs=1", "seed=0",
+    ])
+    result = train_affinity(cfg)
+    assert (out / "backbone").is_dir()
+
+    # the artifact restores through the standard checkpoint loader
+    import jax
+
+    from packppi_tpu.data.skempi import load_skempi_entries, skempi_features, stack_affinity_batch
+    from packppi_tpu.models import NetworkConfig
+    from packppi_tpu.models.affinity import AffinityModel
+    from packppi_tpu.structure import from_pdb_file
+    from packppi_tpu.train import load_model_params
+
+    e = load_skempi_entries(str(data_dir), "PDBs")[0]
+    feats = skempi_features(from_pdb_file(e["pdb_path"], mse_to_met=True),
+                            e["mutations"], ddg=e["ddG"])
+    batch = stack_affinity_batch([feats])
+    model = AffinityModel.create(NetworkConfig(), mode="network")
+    template = jax.eval_shape(
+        lambda: model.backbone.init(jax.random.key(0), batch.wild()))
+    bb = load_model_params(str(out / "backbone"), template)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a.shape == b.shape, bb, template))
