@@ -51,11 +51,28 @@ def run_eval_csv(args) -> dict:
     from packppi_tpu.structure import from_pdb_file
     from packppi_tpu.train import load_model_params
 
+    if args.mode == "esm":
+        raise SystemExit("--eval_csv supports network/linear modes; for esm, "
+                         "precompute embeddings and use the training loop's "
+                         "eval (packppi-train-affinity model.mode=esm)")
+
     entries = load_skempi_entries(args.eval_csv, "PDBs")
     if not entries:
         raise SystemExit(f"no usable SKEMPI entries under {args.eval_csv}")
 
+    # parse-only residue counts per unique PDB so loader planning does not
+    # featurize the whole corpus (it still featurizes once per entry during
+    # iteration, via the prefetch worker)
+    pdb_len: dict = {}
+    for e in entries:
+        if e["pdb_path"] not in pdb_len:
+            pdb_len[e["pdb_path"]] = len(
+                from_pdb_file(e["pdb_path"], mse_to_met=True).aaindex)
+    entry_lengths = [pdb_len[e["pdb_path"]] for e in entries]
+
     class DS:
+        lengths = staticmethod(lambda: entry_lengths)
+
         def __len__(self):
             return len(entries)
 
@@ -66,6 +83,8 @@ def run_eval_csv(args) -> dict:
 
     loader = BucketedLoader(DS(), args.batch_size, shuffle=False, drop_last=False,
                             prefetch=2, stack_fn=stack_affinity_batch)
+    # bucket grouping permutes entries; this is the yielded dataset order
+    order = [i for b in loader.plan() for i in b]
 
     model = AffinityModel.create(NetworkConfig(), mode=args.mode)
     key = jax.random.key(args.seed)
@@ -90,8 +109,15 @@ def run_eval_csv(args) -> dict:
     for batch in loader:
         preds.append(np.asarray(predict(params, backbone_params, batch)))
         labels.append(np.asarray(batch.ddg))
-    p = np.concatenate(preds)[: len(entries)]
-    y = np.concatenate(labels)[: len(entries)]
+    flat_p, flat_y = np.concatenate(preds), np.concatenate(labels)
+    if len(flat_p) != len(entries):
+        raise SystemExit(f"evaluated {len(flat_p)} of {len(entries)} entries "
+                         "— incomplete eval, refusing to report metrics")
+    # un-permute from bucket order back to CSV entry order
+    p = np.empty(len(entries), flat_p.dtype)
+    y = np.empty(len(entries), flat_y.dtype)
+    p[order] = flat_p
+    y[order] = flat_y
 
     out = {"n": len(entries),
            "rmse": float(np.sqrt(np.mean((p - y) ** 2))),

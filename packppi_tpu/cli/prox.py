@@ -68,6 +68,8 @@ def run(args) -> dict:
     clash_before = analysis.get_clashscore(args.input)
     print(f"clashscore before: {clash_before}")
 
+    if args.num_steps < 1:
+        raise SystemExit("--num_steps must be >= 1")
     t0 = time.perf_counter()
     res = jax.jit(lambda b, sc: proximal_optimize(
         b, sc, args.violation_tolerance_factor, args.clash_overlap_tolerance,
@@ -96,8 +98,12 @@ def run(args) -> dict:
         "clashscore_after": clash_after,
         "accepted": accepted,
         "optimize_seconds": t_opt,
+        # losses are recorded BEFORE each Adam step (the reference's
+        # convention, src/models/components/optimize.py:60-71): _final is
+        # the objective entering the last step, not of the returned chis
         "objective_initial": float(res.losses[0]),
         "objective_final": float(res.losses[-1]),
+        "objective_convention": "pre-step (reference parity)",
     }
     (outdir / "metrics.json").write_text(json.dumps(result, indent=1))
     return result

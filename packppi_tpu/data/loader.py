@@ -77,6 +77,12 @@ class BucketedLoader:
     def __len__(self) -> int:
         return len(self._plan())
 
+    def plan(self) -> list[list[int]]:
+        """The dataset-index batches the NEXT __iter__ will yield, in order
+        — callers that need to map batched outputs back to dataset entries
+        (e.g. packppi-ddg --eval_csv) align against this."""
+        return self._plan()
+
     def __iter__(self) -> Iterator:
         batches = self._plan()
         self.epoch += 1
@@ -95,11 +101,15 @@ class BucketedLoader:
         stop = object()
 
         def worker():
+            # a worker failure must surface in the consumer, not silently
+            # truncate the epoch (a prefetch error that ends iteration
+            # early would yield wrong-but-plausible eval metrics)
             try:
                 for b in batches:
                     q.put(make(b))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -107,4 +117,6 @@ class BucketedLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

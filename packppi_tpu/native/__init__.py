@@ -39,7 +39,10 @@ def _lib_path() -> Path:
 
 def _build(lib_path: Path) -> bool:
     try:
-        tmp = lib_path.with_suffix(".so.tmp")
+        # per-process tmp name: concurrent cold-start builders must not
+        # write the same file, or the atomic rename could publish a
+        # partially written object
+        tmp = lib_path.with_suffix(f".so.tmp.{os.getpid()}")
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
              str(_SRC), "-o", str(tmp)],

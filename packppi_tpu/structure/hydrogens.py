@@ -199,7 +199,7 @@ def heavy_graph(prot):
             np.asarray(res_of, np.int64), flat_index, sep)
 
 
-def add_hydrogens(prot, optimize_rotors: bool = False) -> dict:
+def add_hydrogens(prot, optimize_rotors: bool = False, graph=None) -> dict:
     """Place ideal hydrogens on a parsed Protein.
 
     Returns dict with:
@@ -282,7 +282,8 @@ def add_hydrogens(prot, optimize_rotors: bool = False) -> dict:
             emit(i, names, heavy, hs)
 
     if optimize_rotors and rotors:
-        _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors)
+        _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
+                               graph=graph)
 
     return {
         "positions": np.asarray(pos, np.float64).reshape(-1, 3),
@@ -293,7 +294,8 @@ def add_hydrogens(prot, optimize_rotors: bool = False) -> dict:
 
 
 def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
-                           n_phases: int = 12, cutoff: float = 4.0):
+                           n_phases: int = 12, cutoff: float = 4.0,
+                           graph=None):
     """Reduce-style rotatable-H search: spin each rotor group and keep the
     phase with the least vdW interpenetration against nearby heavy atoms.
 
@@ -305,7 +307,7 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
     from packppi_tpu.utils.metrics import (
         PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS, PROBE_RADII)
 
-    coords, names, res_of, flat_index, sep = heavy_graph(prot)
+    coords, names, res_of, flat_index, sep = graph or heavy_graph(prot)
     radii = np.asarray([PROBE_RADII.get(nm[0], 1.7) for nm in names])
     acceptor = np.asarray([nm in HBOND_ACCEPTORS for nm in names])
 

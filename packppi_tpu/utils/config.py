@@ -56,15 +56,16 @@ def _deep_merge(base: dict, extra: dict) -> dict:
     return out
 
 
+_SCI_FLOAT = re.compile(r"^[+-]?\d+(\.\d*)?[eE][+-]?\d+$")
+
+
 def _parse_value(s: str) -> Any:
     v = yaml.safe_load(s)
-    if isinstance(v, str):
+    if isinstance(v, str) and _SCI_FLOAT.match(v):
         # YAML 1.1 reads '3e-4' as a string (mantissa must be '3.0e-4');
-        # accept the common scientific shorthand like Hydra does
-        try:
-            return float(v)
-        except ValueError:
-            pass
+        # accept exactly the scientific shorthand, like Hydra — a blanket
+        # float() would also convert 'nan'/'infinity'/'1_000' strings
+        return float(v)
     return v
 
 

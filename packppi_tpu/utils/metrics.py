@@ -95,14 +95,15 @@ def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP) -> float:
     """
     from packppi_tpu.structure.hydrogens import HBOND_ACCEPTORS, add_hydrogens, heavy_graph
 
-    coords_arr, names, res_of, flat_index, heavy_dist = heavy_graph(prot)
+    graph = heavy_graph(prot)
+    coords_arr, names, res_of, flat_index, heavy_dist = graph
     coords = list(coords_arr)
     radii = [PROBE_RADII.get(nm[0], 1.7) for nm in names]
     acceptor = [nm in HBOND_ACCEPTORS for nm in names]
     n_heavy = len(coords)
 
-    # ---- append hydrogens (with Reduce-style rotor optimization) --------
-    hyd = add_hydrogens(prot, optimize_rotors=True)
+    # ---- append hydrogens (Reduce-style rotor optimization, shared graph)
+    hyd = add_hydrogens(prot, optimize_rotors=True, graph=graph)
     h_parent = [int(flat_index[r, s]) for r, s in
                 zip(hyd["parent_res"], hyd["parent_slot"])]
     all_coords = np.concatenate([np.asarray(coords).reshape(-1, 3),

@@ -113,9 +113,13 @@ def test_ddg_eval_csv_mode(tmp_path):
     (data_dir / "PDBs").mkdir(parents=True)
     df = pd.read_csv(os.path.join(fix, "skempi_v2.csv"), sep=";")
     pdbcode = df["#Pdb"].str.split("_").str[0]
-    pd.concat([df[pdbcode == "1BRS"].head(3),
-               df[pdbcode == "2FTL"].head(2)]).to_csv(
-        data_dir / "skempi_v2.csv", sep=";", index=False)
+    a = df[pdbcode == "1BRS"].head(3)
+    b = df[pdbcode == "2FTL"].head(2)
+    # INTERLEAVE complexes of different length buckets: bucketed batching
+    # permutes the evaluation order, and per-row outputs must be mapped
+    # back to CSV order (regression for a misalignment bug)
+    rows = [a.iloc[[0]], b.iloc[[0]], a.iloc[[1]], b.iloc[[1]], a.iloc[[2]]]
+    pd.concat(rows).to_csv(data_dir / "skempi_v2.csv", sep=";", index=False)
     for n in ("1BRS", "2FTL"):
         (data_dir / "PDBs" / f"{n}.pdb").symlink_to(
             os.path.join(fix, "PDBs", f"{n}.pdb"))
@@ -128,4 +132,11 @@ def test_ddg_eval_csv_mode(tmp_path):
     assert "rmse" in out and out["rmse"] > 0
     rows = [json.loads(l) for l in open(tmp_path / "out" / "ddg_eval.jsonl")]
     assert len(rows) == 5
-    assert {r["complex"].split("_")[0] for r in rows} == {"1BRS", "2FTL"}
+    # rows come back in CSV order with each mutation's OWN experimental ddG
+    assert [r["complex"].split("_")[0] for r in rows] == [
+        "1BRS", "2FTL", "1BRS", "2FTL", "1BRS"]
+    from packppi_tpu.data.skempi import load_skempi_entries
+    expected = load_skempi_entries(str(data_dir), "PDBs")
+    for r, e in zip(rows, expected):
+        assert r["mutstr"] == e["mutstr"]
+        assert abs(r["ddg_exp"] - e["ddG"]) < 1e-6

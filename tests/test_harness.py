@@ -231,3 +231,35 @@ def test_override_scientific_notation():
                       ["trainer.lr=3e-4", "task_name=still_a_string"])
     assert cfg.trainer.lr == 3e-4 and isinstance(cfg.trainer.lr, float)
     assert cfg.task_name == "still_a_string"
+
+
+def test_prefetch_worker_error_propagates():
+    """A failure inside the prefetch worker must raise in the consumer, not
+    silently end the epoch early."""
+    class ExplodingDataset:
+        def __len__(self):
+            return 4
+
+        def lengths(self):
+            return [60, 60, 60, 60]
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise ValueError("boom")
+            return _FakeDataset([60])[0]
+
+    loader = BucketedLoader(ExplodingDataset(), batch_size=1, shuffle=False,
+                            prefetch=2)
+    with pytest.raises(ValueError, match="boom"):
+        list(loader)
+
+
+def test_loader_plan_matches_iteration_order():
+    ds = _FakeDataset([60, 300, 62, 310])  # interleaved buckets
+    loader = BucketedLoader(ds, batch_size=2, shuffle=False, prefetch=0)
+    plan = loader.plan()
+    flat = [i for b in plan for i in b]
+    assert sorted(flat) == [0, 1, 2, 3]
+    # same-bucket entries grouped: 60/62 together, 300/310 together
+    got = [set(b) for b in plan]
+    assert {0, 2} in got and {1, 3} in got

@@ -104,7 +104,8 @@ def _count_with(prot, optimize):
 
     orig = hmod.add_hydrogens
     try:
-        hmod_add = lambda p, optimize_rotors=False: orig(p, optimize_rotors=optimize)
+        hmod_add = lambda p, optimize_rotors=False, graph=None: orig(
+            p, optimize_rotors=optimize, graph=graph)
         mmod_probe = mmod.probe_clashscore
         # patch through the module attr the metric imports at call time
         hmod.add_hydrogens = hmod_add

@@ -127,6 +127,7 @@ def main():
         out["pack_30steps"]["mfu_bf16_peak_amortized"] = round(
             out["pack_30steps"]["flops_corrected"] / bench_pack_s / peak["bf16"], 5)
     print(json.dumps(out))
+    (REPO / "cache").mkdir(exist_ok=True)
     (REPO / "cache" / "flops_report.json").write_text(json.dumps(out))
 
 
