@@ -199,6 +199,147 @@ def heavy_graph(prot):
             np.asarray(res_of, np.int64), flat_index, sep)
 
 
+# Reduce's amide/imidazole flips: terminal groups whose X-ray density is
+# ambiguous. Swapping the two listed atom14 slots flips the group; the
+# orientation with less steric overlap is kept (Reduce also scores
+# H-bonds; clash cost alone captures the cases that matter for clashscore).
+FLIP_GROUPS = {
+    "ASN": [("OD1", "ND2")],
+    "GLN": [("OE1", "NE2")],
+    "HIS": [("ND1", "CD2"), ("CE1", "NE2")],  # chi2 ring flip: both pairs swap
+}
+
+
+def optimize_amide_flips(prot, cutoff: float = 4.0):
+    """Reduce-style ASN/GLN/HIS flip decisions by steric cost.
+
+    Returns ``(flipped_prot, n_flipped)``: a copy of ``prot`` in which each
+    flippable terminal group keeps the orientation (original or 180-degree
+    flipped) with the smaller vdW interpenetration against surrounding
+    non-bonded heavy atoms. MolProbity runs Reduce with flips before
+    counting clashes (reference: src/utils/protein_analysis.py:26-34 shells
+    out to the binary, which does this internally).
+    """
+    import dataclasses
+
+    from packppi_tpu.chem import ATOM14_NAMES, RESTYPE_1TO3, RESTYPES
+    from packppi_tpu.utils.metrics import PROBE_RADII
+
+    X = np.array(prot.atom_positions, np.float64)
+    mask = np.asarray(prot.atom_mask).astype(bool)
+    L = X.shape[0]
+    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
+                for i in prot.aaindex]
+
+    # flat heavy cloud + grid for neighborhood lookups
+    coords, radii, res_idx, acc = [], [], [], []
+    for i in range(L):
+        rn = resnames[i]
+        if rn == "UNK":
+            continue
+        for s, nm in enumerate(ATOM14_NAMES[rn]):
+            if nm and mask[i, s]:
+                coords.append(X[i, s])
+                radii.append(PROBE_RADII.get(nm[0], 1.7))
+                res_idx.append(i)
+                acc.append(nm in HBOND_ACCEPTORS)
+    coords = np.asarray(coords).reshape(-1, 3)
+    radii = np.asarray(radii)
+    res_idx = np.asarray(res_idx)
+    acc = np.asarray(acc, bool)
+
+    cell = cutoff
+    keys = np.floor(coords / cell).astype(np.int64)
+    buckets: dict[tuple, list] = {}
+    for k in range(len(coords)):
+        buckets.setdefault(tuple(keys[k]), []).append(k)
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
+
+    def _group_hydrogens(rn, pos_of):
+        """The flip group's own hydrogens for a candidate orientation
+        (Reduce scores flips WITH hydrogens; heavy-only cost mispicks)."""
+        hs = []  # (pos, polar)
+        if rn == "ASN" and all(k in pos_of for k in ("ND2", "CG", "CB")):
+            hs += [(h, True) for h in _sp2_pair(pos_of["ND2"], pos_of["CG"],
+                                                pos_of["CB"], H_BOND_LENGTH["N"])]
+        if rn == "GLN" and all(k in pos_of for k in ("NE2", "CD", "CG")):
+            hs += [(h, True) for h in _sp2_pair(pos_of["NE2"], pos_of["CD"],
+                                                pos_of["CG"], H_BOND_LENGTH["N"])]
+        if rn == "HIS":
+            for heavy, (r1, r2) in (("CD2", ("CG", "NE2")),
+                                    ("CE1", ("ND1", "NE2")),
+                                    ("NE2", ("CE1", "CD2"))):
+                if all(k in pos_of for k in (heavy, r1, r2)):
+                    hs += [(h, heavy[0] == "N") for h in _sp2_bisector(
+                        pos_of[heavy], pos_of[r1], pos_of[r2],
+                        H_BOND_LENGTH[heavy[0]])]
+        return hs
+
+    from packppi_tpu.utils.metrics import PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS
+
+    def cost(i, rn, group_slots, positions, pos_of):
+        """Overlap of the group's atoms + their hydrogens vs heavy atoms of
+        OTHER residues; polar-H-vs-acceptor contacts are exempt (they score
+        as H-bonds in the final Probe count — penalizing them here would
+        flip groups AWAY from hydrogen bonds)."""
+        probes = [(p, PROBE_RADII.get(ATOM14_NAMES[rn][s][0], 1.7), False)
+                  for s, p in zip(group_slots, positions)]
+        probes += [(h, PROBE_H_POLAR_RADIUS if polar_h else PROBE_H_RADIUS, polar_h)
+                   for h, polar_h in _group_hydrogens(rn, pos_of)]
+        total = 0.0
+        for p, r_self, polar_h in probes:
+            key = tuple(np.floor(p / cell).astype(np.int64))
+            neigh = []
+            for off in offsets:
+                neigh.extend(buckets.get((key[0] + off[0], key[1] + off[1],
+                                          key[2] + off[2]), []))
+            if not neigh:
+                continue
+            na = np.asarray(neigh)
+            keep = res_idx[na] != i  # own residue is bonded context
+            if polar_h:
+                keep &= ~acc[na]
+            other = na[keep]
+            if not len(other):
+                continue
+            gap = np.linalg.norm(coords[other] - p, axis=-1) - (radii[other] + r_self)
+            overlap = np.clip(-gap, 0, None)
+            # primary objective = serious clashes (what the final count
+            # thresholds at 0.4 A); total overlap only breaks ties
+            total += 1000.0 * float((overlap >= 0.4).sum()) + float(overlap.sum())
+        return total
+
+    flipped = 0
+    for i in range(L):
+        rn = resnames[i]
+        pairs = FLIP_GROUPS.get(rn)
+        if not pairs:
+            continue
+        names = ATOM14_NAMES[rn]
+        slot = {nm: s for s, nm in enumerate(names) if nm}
+        group_slots = [slot[a] for p in pairs for a in p]
+        if not all(mask[i, s] for s in group_slots):
+            continue
+        orig = [X[i, s].copy() for s in group_slots]
+        # flipped: swap coordinates within each pair
+        swap = []
+        for a, b in pairs:
+            swap.extend([X[i, slot[b]].copy(), X[i, slot[a]].copy()])
+
+        pos_orig = {nm: X[i, s] for nm, s in slot.items() if mask[i, s]}
+        pos_swap = dict(pos_orig)
+        for (a, b) in pairs:
+            pos_swap[a], pos_swap[b] = pos_orig[b], pos_orig[a]
+        if (cost(i, rn, group_slots, swap, pos_swap) + 1e-9
+                < cost(i, rn, group_slots, orig, pos_orig)):
+            for s, p in zip(group_slots, swap):
+                X[i, s] = p
+            flipped += 1
+
+    return dataclasses.replace(prot, atom_positions=X), flipped
+
+
 def add_hydrogens(prot, optimize_rotors: bool = False, graph=None) -> dict:
     """Place ideal hydrogens on a parsed Protein.
 

@@ -93,8 +93,11 @@ def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP) -> float:
     Pure numpy with a 3 A cell list; metric-time host code. See PARITY.md
     for the documented error bound vs the real MolProbity binary.
     """
-    from packppi_tpu.structure.hydrogens import HBOND_ACCEPTORS, add_hydrogens, heavy_graph
+    from packppi_tpu.structure.hydrogens import (
+        HBOND_ACCEPTORS, add_hydrogens, heavy_graph, optimize_amide_flips)
 
+    # Reduce step 1: ASN/GLN/HIS amide-orientation flips by steric cost
+    prot, _ = optimize_amide_flips(prot)
     graph = heavy_graph(prot)
     coords_arr, names, res_of, flat_index, heavy_dist = graph
     coords = list(coords_arr)

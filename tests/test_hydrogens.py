@@ -139,3 +139,39 @@ def test_hbond_pairs_not_counted():
     prot = from_pdb_file(FIXTURE, mse_to_met=True)
     from packppi_tpu.structure.hydrogens import HBOND_ACCEPTORS
     assert "O" in HBOND_ACCEPTORS and "OD1" in HBOND_ACCEPTORS
+
+
+class TestAmideFlips:
+    def test_flip_count_deterministic_and_bounded(self, prot):
+        from packppi_tpu.structure.hydrogens import optimize_amide_flips
+
+        p1, n1 = optimize_amide_flips(prot)
+        p2, n2 = optimize_amide_flips(prot)
+        assert n1 == n2
+        np.testing.assert_array_equal(p1.atom_positions, p2.atom_positions)
+        n_flippable = sum(RESTYPE_1TO3[RESTYPES[i]] in ("ASN", "GLN", "HIS")
+                          for i in prot.aaindex)
+        assert 0 < n1 < n_flippable  # flips some, not all
+
+    def test_flip_swaps_only_group_atoms(self, prot):
+        from packppi_tpu.chem import ATOM14_NAMES
+        from packppi_tpu.structure.hydrogens import FLIP_GROUPS, optimize_amide_flips
+
+        flipped, _ = optimize_amide_flips(prot)
+        moved = np.argwhere(
+            np.abs(flipped.atom_positions - prot.atom_positions).sum(-1) > 0)
+        for i, s in moved:
+            rn = RESTYPE_1TO3[RESTYPES[prot.aaindex[i]]]
+            assert rn in FLIP_GROUPS
+            group = {a for pair in FLIP_GROUPS[rn] for a in pair}
+            assert ATOM14_NAMES[rn][s] in group
+
+    def test_flips_lower_clashscore_on_1brs(self, prot, monkeypatch):
+        """With flips disabled the 1brs score is strictly higher (the
+        deposited structure contains misoriented amides)."""
+        import packppi_tpu.structure.hydrogens as hmod
+
+        with_flips = probe_clashscore(prot)
+        monkeypatch.setattr(hmod, "optimize_amide_flips", lambda p: (p, 0))
+        without = probe_clashscore(prot)
+        assert with_flips < without
