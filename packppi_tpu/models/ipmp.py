@@ -127,25 +127,60 @@ class InvariantPointLayer(nn.Module):
     def _geometry_features(self, h_V, idx, frames, points_fn):
         """[B, L, K, 9*n_points] frame-invariant point features: node i's
         local points + norms, node j's points in i's frame + norms, global
-        point-pair distances."""
-        p_local = points_fn(h_V).reshape(*h_V.shape[:-1], self.n_points, 3)     # [B,L,P,3]
-        frames_p = Rigid(frames.rot[..., None, :, :], frames.trans[..., None, :])
-        p_global = rigid_apply(frames_p, p_local)                                # [B,L,P,3]
+        point-pair distances.
 
-        nbr_p_global = gather_nodes(p_global, idx)                               # [B,L,K,P,3]
-        frames_pk = Rigid(frames.rot[..., None, None, :, :], frames.trans[..., None, None, :])
-        nbr_p_local = invert_apply(frames_pk, nbr_p_global)                      # [B,L,K,P,3]
+        Computed in structure-of-arrays form: every per-edge elementwise op
+        runs on [B, L, K, P] component planes instead of [..., P, 3]
+        tensors — a trailing dimension of 3 occupies 3 of the VPU's 128
+        lanes, and the AoS version measured 55% of the whole sampling eval.
+        Identical math (exactness locked by the converted-weight goldens
+        and tests/test_model.py::test_geometry_features_soa_matches_aos).
+        """
+        B, L = idx.shape[:2]
+        P = self.n_points
+        p_local = points_fn(h_V).reshape(B, L, P, 3)                # [B,L,P,3]
+        plx, ply, plz = (p_local[..., c] for c in range(3))         # [B,L,P]
+        R, t = frames.rot, frames.trans                             # [B,L,3,3],[B,L,3]
 
-        p_local_k = jnp.broadcast_to(p_local[:, :, None], (*idx.shape, self.n_points, 3))
-        p_global_k = jnp.broadcast_to(p_global[:, :, None], (*idx.shape, self.n_points, 3))
+        def rot_row(r0, r1, r2, x, y, z):
+            return r0 * x + r1 * y + r2 * z
 
-        flatten = lambda x: x.reshape(*idx.shape, -1)
+        # global = R @ p_local + t, per component
+        e = lambda a: a[..., None]                                  # [B,L,1]
+        pgx = rot_row(e(R[..., 0, 0]), e(R[..., 0, 1]), e(R[..., 0, 2]), plx, ply, plz) + e(t[..., 0])
+        pgy = rot_row(e(R[..., 1, 0]), e(R[..., 1, 1]), e(R[..., 1, 2]), plx, ply, plz) + e(t[..., 1])
+        pgz = rot_row(e(R[..., 2, 0]), e(R[..., 2, 1]), e(R[..., 2, 2]), plx, ply, plz) + e(t[..., 2])
+
+        # ONE gather of the stacked components: [B,L,3P] -> [B,L,K,3P]
+        nbr = gather_nodes(jnp.concatenate([pgx, pgy, pgz], -1), idx)
+        ngx, ngy, ngz = nbr[..., :P], nbr[..., P:2 * P], nbr[..., 2 * P:]
+
+        # neighbor points in i's frame: R_i^T (p_global[j] - t_i)
+        ee = lambda a: a[..., None, None]                           # [B,L,1,1]
+        dx = ngx - ee(t[..., 0])
+        dy = ngy - ee(t[..., 1])
+        dz = ngz - ee(t[..., 2])
+        nlx = rot_row(ee(R[..., 0, 0]), ee(R[..., 1, 0]), ee(R[..., 2, 0]), dx, dy, dz)
+        nly = rot_row(ee(R[..., 0, 1]), ee(R[..., 1, 1]), ee(R[..., 2, 1]), dx, dy, dz)
+        nlz = rot_row(ee(R[..., 0, 2]), ee(R[..., 1, 2]), ee(R[..., 2, 2]), dx, dy, dz)
+
+        eps = 1e-8
+        norm_pl = jnp.sqrt(plx * plx + ply * ply + plz * plz + eps)          # [B,L,P]
+        norm_nl = jnp.sqrt(nlx * nlx + nly * nly + nlz * nlz + eps)          # [B,L,K,P]
+        ddx = pgx[:, :, None] - ngx
+        ddy = pgy[:, :, None] - ngy
+        ddz = pgz[:, :, None] - ngz
+        norm_pair = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + eps)        # [B,L,K,P]
+
+        K = idx.shape[2]
+        flat_pl = jnp.broadcast_to(p_local.reshape(B, L, 1, P * 3), (B, L, K, P * 3))
+        flat_nl = jnp.stack([nlx, nly, nlz], -1).reshape(B, L, K, P * 3)
         return jnp.concatenate([
-            flatten(p_local_k),                  # node i's points (local)
-            _norm(p_local_k),                    # their distance to i's CA
-            flatten(nbr_p_local),                # node j's points in i's frame
-            _norm(nbr_p_local),
-            _norm(p_global_k - nbr_p_global),    # global point-pair distances
+            flat_pl,                                               # i's points (local)
+            jnp.broadcast_to(norm_pl[:, :, None], (B, L, K, P)),   # |p_local|
+            flat_nl,                                               # j's points in i's frame
+            norm_nl,
+            norm_pair,                                             # global pair distances
         ], -1)
 
     @nn.compact

@@ -147,3 +147,47 @@ def test_skip_last_edge_update_is_exact(model, params, small_batch):
                          skip_last_edge_update=True)
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
     np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+
+
+def test_geometry_features_soa_matches_aos(small_batch):
+    """The SoA geometry-feature rewrite is bit-near the direct AoS math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from packppi_tpu.geometry.rigid import (Rigid, bb_frames_from_atom14,
+                                            invert_apply, rigid_apply)
+    from packppi_tpu.models.ipmp import InvariantPointLayer, _norm
+    from packppi_tpu.ops.graph import gather_nodes, masked_knn
+
+    batch = small_batch
+    B, L = batch.residue_mask.shape
+    P, K = 8, 8
+    frames = bb_frames_from_atom14(jnp.asarray(batch.X))
+    _, idx = masked_knn(jnp.asarray(batch.X[:, :, 1, :]),
+                        jnp.asarray(batch.residue_mask), K)
+    rng = np.random.default_rng(0)
+    h_V = jnp.asarray(rng.normal(size=(B, L, 16)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(16, P * 3)).astype(np.float32)) * 0.1
+    points_fn = lambda h: h @ W
+
+    layer = InvariantPointLayer(hidden_dim=16, n_points=P)
+    soa = layer._geometry_features(h_V, idx, frames, points_fn)
+
+    # direct AoS reference (the original implementation)
+    p_local = points_fn(h_V).reshape(B, L, P, 3)
+    frames_p = Rigid(frames.rot[..., None, :, :], frames.trans[..., None, :])
+    p_global = rigid_apply(frames_p, p_local)
+    nbr_p_global = gather_nodes(p_global, idx)
+    frames_pk = Rigid(frames.rot[..., None, None, :, :],
+                      frames.trans[..., None, None, :])
+    nbr_p_local = invert_apply(frames_pk, nbr_p_global)
+    p_local_k = jnp.broadcast_to(p_local[:, :, None], (*idx.shape, P, 3))
+    p_global_k = jnp.broadcast_to(p_global[:, :, None], (*idx.shape, P, 3))
+    flatten = lambda x: x.reshape(*idx.shape, -1)
+    aos = jnp.concatenate([
+        flatten(p_local_k), _norm(p_local_k), flatten(nbr_p_local),
+        _norm(nbr_p_local), _norm(p_global_k - nbr_p_global)], -1)
+
+    np.testing.assert_allclose(np.asarray(soa), np.asarray(aos),
+                               atol=1e-5, rtol=1e-5)
