@@ -57,30 +57,43 @@ def _pair_block_loss(pos_i, exists_i, radius_i, ridx_i,
     """Clash error for a [R x L] block of residue pairs.
 
     Shapes: *_i are [B, R, ...] (rows), *_j are [B, L, ...] (all columns).
-    Returns (err [B,R,L,14,14], mask [B,R,L,14,14]).
+    Returns (err [B,R,14,14,L], mask [B,R,14,14,L]) — axis order (i-atom,
+    j-atom, j-residue) puts L (a lane-friendly multiple of 128) in the
+    minor dimension, and the squared distance is accumulated per xyz
+    component, so no tensor ever carries a length-3 (or length-14) minor
+    axis through the VPU. Identical values to the direct [..,3] broadcast
+    (locked by the per-atom clash golden and Pallas parity tests).
     """
-    d = jnp.sqrt(eps + jnp.sum(
-        (pos_i[:, :, None, :, None, :] - pos_j[:, None, :, None, :, :]) ** 2, -1))
+    # pos_i -> [B,R,14,1,1] per component; pos_j -> [B,1,1,14,L]
+    pj_t = jnp.moveaxis(pos_j, 1, 3)                     # [B,14,3,L]
+    d2 = eps
+    for c in range(3):
+        diff = (pos_i[..., c][:, :, :, None, None]
+                - pj_t[:, None, None, :, c, :])          # [B,R,14,14,L]
+        d2 = d2 + diff * diff
+    d = jnp.sqrt(d2)
 
-    mask = exists_i[:, :, None, :, None] * exists_j[:, None, :, None, :]
-    bb = np.zeros((14, 14), np.float32)
-    bb[:4, :4] = 1.0
+    ex_j_t = jnp.moveaxis(exists_j, 1, 2)                # [B,14,L]
+    mask = (exists_i[:, :, :, None, None] * ex_j_t[:, None, None])
+    bb = np.zeros((14, 14, 1), np.float32)
+    bb[:4, :4, 0] = 1.0
     mask = mask * (1.0 - bb)
     # upper triangle only (by residue numbering, chain offsets included)
-    mask = mask * (ridx_i[:, :, None] < ridx_j[:, None, :])[..., None, None]
+    mask = mask * (ridx_i[:, :, None] < ridx_j[:, None, :])[:, :, None, None, :]
 
     # peptide bond C(i)-N(j=i+1) is bonded, not a clash
-    neighbor = ((ridx_i[:, :, None] + 1) == ridx_j[:, None, :])[..., None, None]
-    cn = np.zeros((14, 14), np.float32)
-    cn[_C_SLOT, _N_SLOT] = 1.0
+    neighbor = ((ridx_i[:, :, None] + 1) == ridx_j[:, None, :])[:, :, None, None, :]
+    cn = np.zeros((14, 14, 1), np.float32)
+    cn[_C_SLOT, _N_SLOT, 0] = 1.0
     mask = mask * (1.0 - neighbor * cn)
 
     # SG-SG pairs exempted for all residue pairs (disulfide allowance)
-    ss = np.zeros((14, 14), np.float32)
-    ss[_CYS_SG_SLOT, _CYS_SG_SLOT] = 1.0
+    ss = np.zeros((14, 14, 1), np.float32)
+    ss[_CYS_SG_SLOT, _CYS_SG_SLOT, 0] = 1.0
     mask = mask * (1.0 - ss)
 
-    low = mask * (radius_i[:, :, None, :, None] + radius_j[:, None, :, None, :])
+    rad_j_t = jnp.moveaxis(radius_j, 1, 2)               # [B,14,L]
+    low = mask * (radius_i[:, :, :, None, None] + rad_j_t[:, None, None])
     err = mask * jax.nn.relu(low - tol_soft - d)
     return err, mask
 
@@ -116,8 +129,9 @@ def between_residue_clash(positions, atom_exists, atom_radius, residue_index,
         pos_i, ex_i, rad_i, ridx_i = blk
         err, mask = _pair_block_loss(pos_i, ex_i, rad_i, ridx_i,
                                      pos_p, ex_p, rad_p, ridx_p, tol_soft)
-        col_acc = col_acc + err.sum(axis=(1, 3))       # -> [B, L, 14] (as residue j)
-        row_sum_blk = err.sum(axis=(2, 4))             # -> [B, block, 14] (as residue i)
+        # err layout [B, R, 14i, 14j, L]
+        col_acc = col_acc + jnp.moveaxis(err.sum(axis=(1, 2)), 1, 2)  # -> [B, L, 14] (as residue j)
+        row_sum_blk = err.sum(axis=(3, 4))             # -> [B, block, 14] (as residue i)
         err_sum = err_sum + err.sum()
         mask_sum = mask_sum + mask.sum()
         return (col_acc, row_sum, err_sum, mask_sum), row_sum_blk
