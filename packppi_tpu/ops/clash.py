@@ -120,8 +120,8 @@ def between_residue_clash(positions, atom_exists, atom_radius, residue_index,
     rows = lambda x: x.reshape(B, nblk, block, *x.shape[2:]).swapaxes(0, 1)
 
     # remat: without this, grad-through-scan stores every block's
-    # [block, L, 14, 14, 3] distance residuals (the backward would cost
-    # O(L^2) memory again); recomputing each block in the backward keeps the
+    # [block, 14, 14, L] pair residuals (the backward would cost O(L^2)
+    # memory again); recomputing each block in the backward keeps the
     # whole loss O(block * L) in both directions.
     @jax.checkpoint
     def body(carry, blk):

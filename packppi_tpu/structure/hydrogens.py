@@ -27,6 +27,36 @@ BONDS = _RAW["bonds"]                      # resname -> [[a, b, length, stddev],
 HBOND_DONORS = set(_RAW["hbond_donor_atoms"]) | {"N"}
 HBOND_ACCEPTORS = set(_RAW["hbond_acceptor_atoms"]) | {"O"}
 
+# the name list alone marks GLN's amide NE2 (always a donor) and — in our
+# NE2-H tautomer — HIS NE2 as acceptors; both carry hydrogens here
+_NON_ACCEPTOR = {("GLN", "NE2"), ("HIS", "NE2")}
+
+
+def is_hbond_acceptor(resname: str, atom_name: str) -> bool:
+    """Residue-aware H-bond acceptor test."""
+    return atom_name in HBOND_ACCEPTORS and (resname, atom_name) not in _NON_ACCEPTOR
+
+
+def _cell_list(coords: np.ndarray, cell: float):
+    """Spatial hash over points; returns (buckets, near) where near(p)
+    yields the indices within the 27-cell neighborhood of p."""
+    keys = np.floor(coords / cell).astype(np.int64)
+    buckets: dict[tuple, list] = {}
+    for k in range(len(coords)):
+        buckets.setdefault(tuple(keys[k]), []).append(k)
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
+
+    def near(point):
+        key = tuple(np.floor(point / cell).astype(np.int64))
+        out = []
+        for off in offsets:
+            out.extend(buckets.get((key[0] + off[0], key[1] + off[1],
+                                    key[2] + off[2]), []))
+        return np.asarray(out, np.int64)
+
+    return buckets, near
+
 # bond lengths to H by heavy element
 H_BOND_LENGTH = {"C": 1.09, "N": 1.01, "O": 0.96, "S": 1.34}
 _TETRA = np.deg2rad(109.471)
@@ -210,20 +240,26 @@ FLIP_GROUPS = {
 }
 
 
-def optimize_amide_flips(prot, cutoff: float = 4.0):
+def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
     """Reduce-style ASN/GLN/HIS flip decisions by steric cost.
 
     Returns ``(flipped_prot, n_flipped)``: a copy of ``prot`` in which each
     flippable terminal group keeps the orientation (original or 180-degree
-    flipped) with the smaller vdW interpenetration against surrounding
-    non-bonded heavy atoms. MolProbity runs Reduce with flips before
-    counting clashes (reference: src/utils/protein_analysis.py:26-34 shells
-    out to the binary, which does this internally).
+    flipped) with fewer serious clashes against surrounding non-bonded
+    heavy atoms — scored over the group's heavy atoms PLUS its own
+    hydrogens, with polar-H/acceptor (H-bond) contacts exempt, as Reduce
+    does before Probe counts (reference: src/utils/protein_analysis.py:26-34
+    shells out to the MolProbity binary, which runs Reduce internally).
+
+    Greedy in residue order, but the neighbor cloud is updated after every
+    accepted flip so later decisions see earlier flips. ``graph`` takes a
+    precomputed :func:`heavy_graph` to avoid re-flattening.
     """
     import dataclasses
 
     from packppi_tpu.chem import ATOM14_NAMES, RESTYPE_1TO3, RESTYPES
-    from packppi_tpu.utils.metrics import PROBE_RADII
+    from packppi_tpu.utils.metrics import (
+        PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS, PROBE_RADII)
 
     X = np.array(prot.atom_positions, np.float64)
     mask = np.asarray(prot.atom_mask).astype(bool)
@@ -231,30 +267,33 @@ def optimize_amide_flips(prot, cutoff: float = 4.0):
     resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
                 for i in prot.aaindex]
 
-    # flat heavy cloud + grid for neighborhood lookups
-    coords, radii, res_idx, acc = [], [], [], []
-    for i in range(L):
-        rn = resnames[i]
-        if rn == "UNK":
-            continue
-        for s, nm in enumerate(ATOM14_NAMES[rn]):
-            if nm and mask[i, s]:
-                coords.append(X[i, s])
-                radii.append(PROBE_RADII.get(nm[0], 1.7))
-                res_idx.append(i)
-                acc.append(nm in HBOND_ACCEPTORS)
-    coords = np.asarray(coords).reshape(-1, 3)
-    radii = np.asarray(radii)
-    res_idx = np.asarray(res_idx)
-    acc = np.asarray(acc, bool)
+    g_coords, g_names, g_res, flat_index, _sep = graph or heavy_graph(prot)
+    coords = np.array(g_coords)               # mutable copy, updated on flips
+    radii = np.asarray([PROBE_RADII.get(nm[0], 1.7) for nm in g_names])
+    acc = np.asarray([is_hbond_acceptor(resnames[r], nm)
+                      for nm, r in zip(g_names, g_res)], bool)
+    res_idx = np.asarray(g_res)
 
     cell = cutoff
-    keys = np.floor(coords / cell).astype(np.int64)
-    buckets: dict[tuple, list] = {}
-    for k in range(len(coords)):
-        buckets.setdefault(tuple(keys[k]), []).append(k)
+    buckets, _near = _cell_list(coords, cell)
     offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
                for dz in (-1, 0, 1)]
+
+    def near(point):
+        key = tuple(np.floor(point / cell).astype(np.int64))
+        out = []
+        for off in offsets:
+            out.extend(buckets.get((key[0] + off[0], key[1] + off[1],
+                                    key[2] + off[2]), []))
+        return np.asarray(out, np.int64)
+
+    def move_atom(flat, new_pos):
+        old_key = tuple(np.floor(coords[flat] / cell).astype(np.int64))
+        new_key = tuple(np.floor(new_pos / cell).astype(np.int64))
+        if old_key != new_key:
+            buckets[old_key].remove(flat)
+            buckets.setdefault(new_key, []).append(flat)
+        coords[flat] = new_pos
 
     def _group_hydrogens(rn, pos_of):
         """The flip group's own hydrogens for a candidate orientation
@@ -276,8 +315,6 @@ def optimize_amide_flips(prot, cutoff: float = 4.0):
                         H_BOND_LENGTH[heavy[0]])]
         return hs
 
-    from packppi_tpu.utils.metrics import PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS
-
     def cost(i, rn, group_slots, positions, pos_of):
         """Overlap of the group's atoms + their hydrogens vs heavy atoms of
         OTHER residues; polar-H-vs-acceptor contacts are exempt (they score
@@ -289,14 +326,9 @@ def optimize_amide_flips(prot, cutoff: float = 4.0):
                    for h, polar_h in _group_hydrogens(rn, pos_of)]
         total = 0.0
         for p, r_self, polar_h in probes:
-            key = tuple(np.floor(p / cell).astype(np.int64))
-            neigh = []
-            for off in offsets:
-                neigh.extend(buckets.get((key[0] + off[0], key[1] + off[1],
-                                          key[2] + off[2]), []))
-            if not neigh:
+            na = near(p)
+            if not len(na):
                 continue
-            na = np.asarray(neigh)
             keep = res_idx[na] != i  # own residue is bonded context
             if polar_h:
                 keep &= ~acc[na]
@@ -333,8 +365,11 @@ def optimize_amide_flips(prot, cutoff: float = 4.0):
             pos_swap[a], pos_swap[b] = pos_orig[b], pos_orig[a]
         if (cost(i, rn, group_slots, swap, pos_swap) + 1e-9
                 < cost(i, rn, group_slots, orig, pos_orig)):
-            for s, p in zip(group_slots, swap):
-                X[i, s] = p
+            for s, pnew in zip(group_slots, swap):
+                X[i, s] = pnew
+                fi = int(flat_index[i, s])
+                if fi >= 0:
+                    move_atom(fi, pnew)   # later residues see this flip
             flipped += 1
 
     return dataclasses.replace(prot, atom_positions=X), flipped
@@ -450,24 +485,13 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
 
     coords, names, res_of, flat_index, sep = graph or heavy_graph(prot)
     radii = np.asarray([PROBE_RADII.get(nm[0], 1.7) for nm in names])
-    acceptor = np.asarray([nm in HBOND_ACCEPTORS for nm in names])
+    _rn = [RESTYPE_1TO3[RESTYPES[prot.aaindex[r]]]
+           if prot.aaindex[r] < len(RESTYPES) else "UNK" for r in res_of]
+    acceptor = np.asarray([is_hbond_acceptor(rn, nm)
+                           for rn, nm in zip(_rn, names)])
 
     # spatial grid over heavy atoms
-    cell = cutoff
-    keys = np.floor(coords / cell).astype(np.int64)
-    buckets: dict[tuple, list] = {}
-    for k in range(len(coords)):
-        buckets.setdefault(tuple(keys[k]), []).append(k)
-    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-               for dz in (-1, 0, 1)]
-
-    def near(point):
-        key = tuple(np.floor(point / cell).astype(np.int64))
-        out = []
-        for off in offsets:
-            out.extend(buckets.get((key[0] + off[0], key[1] + off[1],
-                                    key[2] + off[2]), []))
-        return np.asarray(out, np.int64)
+    _, near = _cell_list(coords, cutoff)
 
     for first, n_h, x, parent_xyz, dref, blen, symmetric in rotors:
         i = pres[first]

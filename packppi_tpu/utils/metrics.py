@@ -93,16 +93,26 @@ def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP) -> float:
     Pure numpy with a 3 A cell list; metric-time host code. See PARITY.md
     for the documented error bound vs the real MolProbity binary.
     """
+    from packppi_tpu.chem import RESTYPE_1TO3, RESTYPES
     from packppi_tpu.structure.hydrogens import (
-        HBOND_ACCEPTORS, add_hydrogens, heavy_graph, optimize_amide_flips)
+        add_hydrogens, heavy_graph, is_hbond_acceptor, optimize_amide_flips)
 
-    # Reduce step 1: ASN/GLN/HIS amide-orientation flips by steric cost
-    prot, _ = optimize_amide_flips(prot)
+    # Reduce step 1: ASN/GLN/HIS amide-orientation flips (shares the graph;
+    # only coordinates change, so the bond topology carries over)
     graph = heavy_graph(prot)
     coords_arr, names, res_of, flat_index, heavy_dist = graph
+    prot, n_flipped = optimize_amide_flips(prot, graph=graph)
+    if n_flipped:
+        valid = flat_index >= 0
+        coords_arr = np.array(coords_arr)
+        coords_arr[flat_index[valid]] = np.asarray(prot.atom_positions,
+                                                   np.float64)[valid]
+        graph = (coords_arr, names, res_of, flat_index, heavy_dist)
     coords = list(coords_arr)
     radii = [PROBE_RADII.get(nm[0], 1.7) for nm in names]
-    acceptor = [nm in HBOND_ACCEPTORS for nm in names]
+    resname_of = [RESTYPE_1TO3.get(_safe_restype(prot.aaindex[r]), "UNK")
+                  for r in res_of]
+    acceptor = [is_hbond_acceptor(rn, nm) for rn, nm in zip(resname_of, names)]
     n_heavy = len(coords)
 
     # ---- append hydrogens (Reduce-style rotor optimization, shared graph)

@@ -172,6 +172,7 @@ class TestAmideFlips:
         import packppi_tpu.structure.hydrogens as hmod
 
         with_flips = probe_clashscore(prot)
-        monkeypatch.setattr(hmod, "optimize_amide_flips", lambda p: (p, 0))
+        monkeypatch.setattr(hmod, "optimize_amide_flips",
+                            lambda p, cutoff=4.0, graph=None: (p, 0))
         without = probe_clashscore(prot)
         assert with_flips < without
