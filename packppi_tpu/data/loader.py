@@ -16,7 +16,7 @@ from typing import Callable, Iterator, Optional
 
 import numpy as np
 
-from packppi_tpu.data.batch import ProteinBatch, bucket_length, stack_batch
+from packppi_tpu.data.batch import bucket_length, stack_batch
 
 
 class BucketedLoader:

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from packppi_tpu.geometry.rigid import Rigid, bb_frames_from_atom14, invert_apply, rigid_apply, scale_translation
+from packppi_tpu.geometry.rigid import bb_frames_from_atom14, scale_translation
 from packppi_tpu.models.layers import MLP
 from packppi_tpu.ops.graph import gather_nodes
 

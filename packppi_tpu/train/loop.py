@@ -20,7 +20,7 @@ import numpy as np
 import optax
 
 from packppi_tpu.train.checkpoints import load_model_params, load_params, save_params
-from packppi_tpu.train.diffusion_task import TrainState, init_state, make_train_step
+from packppi_tpu.train.diffusion_task import init_state, make_train_step
 from packppi_tpu.utils.logging import MetricLogger, get_logger
 
 log = get_logger(__name__)

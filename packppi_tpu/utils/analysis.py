@@ -19,7 +19,7 @@ from packppi_tpu.structure.featurize import featurize
 from packppi_tpu.structure.interface import interface_residue_mask
 from packppi_tpu.structure.protein import from_pdb_file
 from packppi_tpu.utils.logging import get_logger
-from packppi_tpu.utils.metrics import approx_clashscore, chi_metrics, mean_squared_atom_deviation
+from packppi_tpu.utils.metrics import chi_metrics, mean_squared_atom_deviation
 
 log = get_logger(__name__)
 

@@ -19,7 +19,6 @@ import json
 import time
 from pathlib import Path
 
-import numpy as np
 import torch
 
 from gen_pipeline_golden import AttrDict, build_torch_batch, load_reference
