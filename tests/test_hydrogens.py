@@ -176,3 +176,16 @@ class TestAmideFlips:
                             lambda p, cutoff=4.0, graph=None: (p, 0))
         without = probe_clashscore(prot)
         assert with_flips < without
+
+
+def test_residue_aware_acceptors():
+    """GLN's amide NE2 and (NE2-H tautomer) HIS NE2 are donors, not
+    acceptors, despite the name appearing in the acceptor list; HIS ND1
+    and GLN OE1 remain acceptors."""
+    from packppi_tpu.structure.hydrogens import is_hbond_acceptor
+
+    assert not is_hbond_acceptor("GLN", "NE2")
+    assert not is_hbond_acceptor("HIS", "NE2")
+    assert is_hbond_acceptor("HIS", "ND1")
+    assert is_hbond_acceptor("GLN", "OE1")
+    assert is_hbond_acceptor("ALA", "O")
