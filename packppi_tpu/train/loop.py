@@ -73,6 +73,23 @@ def _setup_runtime(trainer_cfg) -> None:
         jax.config.update("jax_debug_nans", True)
 
 
+def make_lr(trainer_cfg, steps_per_epoch: int):
+    """LR or optax schedule from the trainer config (the reference exposes an
+    optional Hydra-partial scheduler hook; reference:
+    src/models/TorsionalDiffusion.py:343-361, configs/model/TorsionalDiffusion.yaml)."""
+    schedule = trainer_cfg.get("lr_schedule", "constant") or "constant"
+    lr = trainer_cfg.lr
+    if schedule == "constant":
+        return lr
+    if schedule == "cosine":
+        warmup = int(trainer_cfg.get("warmup_steps", 0))
+        total = max(trainer_cfg.max_epochs * max(steps_per_epoch, 1), warmup + 1)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup,
+            decay_steps=total, end_value=lr * 0.1)
+    raise ValueError(f"unknown lr_schedule {schedule!r} (constant | cosine)")
+
+
 def train_diffusion(cfg) -> dict:
     """PackPPI-MSC training from a composed config (see configs/train_diffusion.yaml)."""
     from packppi_tpu.data.complex import ComplexDataset, scan_complex_dir, split_entries
@@ -118,7 +135,8 @@ def train_diffusion(cfg) -> dict:
         lamda=cfg.sample.lamda, num_steps=cfg.sample.num_steps)
     model = TorsionalDiffusion.create(net_cfg, sample_cfg)
 
-    optimizer = optax.adamw(cfg.trainer.lr, weight_decay=cfg.trainer.weight_decay)
+    optimizer = optax.adamw(make_lr(cfg.trainer, len(loaders["train"])),
+                            weight_decay=cfg.trainer.weight_decay)
     if cfg.trainer.grad_accum_steps > 1:
         optimizer = optax.MultiSteps(optimizer, cfg.trainer.grad_accum_steps)
 
@@ -206,7 +224,10 @@ def train_diffusion(cfg) -> dict:
                     metrics_log.log(int(state.step), m, prefix="val/")
 
         log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
-        ckpt_mgr.save(int(state.step), state, metric=val_loss if np.isfinite(val_loss) else None)
+        # checkpoint on validated epochs (metric-bearing) and at the end —
+        # per-epoch saves on long small-corpus runs are pure host overhead
+        if np.isfinite(val_loss) or epoch == cfg.trainer.max_epochs - 1 or not len(ds["val"]):
+            ckpt_mgr.save(int(state.step), state, metric=val_loss if np.isfinite(val_loss) else None)
 
     # final held-out evaluation with the best checkpoint (reference:
     # trainer.test on best ckpt, src/train_diffusion.py:74-86)
@@ -410,7 +431,8 @@ def train_affinity(cfg) -> dict:
     save_params(out / "backbone", backbone_params)
 
     params = model.init(kn, init_batch, backbone_params)
-    optimizer = optax.adamw(cfg.trainer.lr, weight_decay=cfg.trainer.weight_decay)
+    optimizer = optax.adamw(make_lr(cfg.trainer, len(loaders["train"])),
+                            weight_decay=cfg.trainer.weight_decay)
     opt_state = optimizer.init(params)
     step = 0
 

@@ -263,3 +263,27 @@ def test_loader_plan_matches_iteration_order():
     # same-bucket entries grouped: 60/62 together, 300/310 together
     got = [set(b) for b in plan]
     assert {0, 2} in got and {1, 3} in got
+
+
+def test_make_lr_schedule():
+    """Trainer LR knob: constant passthrough, warmup+cosine shape, bad name
+    rejected (reference exposes an optional scheduler hook;
+    src/models/TorsionalDiffusion.py:343-361)."""
+    from packppi_tpu.train.loop import make_lr
+    from packppi_tpu.utils.config import Config
+
+    cfg = Config.wrap({"lr": 3e-4, "lr_schedule": "constant", "warmup_steps": 0,
+                       "max_epochs": 10})
+    assert make_lr(cfg, 5) == 3e-4
+
+    cfg["lr_schedule"] = "cosine"
+    cfg["warmup_steps"] = 10
+    sched = make_lr(cfg, 5)  # total = 50 steps
+    assert float(sched(0)) == 0.0                       # warmup start
+    assert float(sched(10)) == pytest.approx(3e-4)      # peak after warmup
+    assert float(sched(50)) == pytest.approx(3e-5)      # decayed to lr/10
+    assert float(sched(30)) < float(sched(15))          # monotone decay
+
+    cfg["lr_schedule"] = "bogus"
+    with pytest.raises(ValueError):
+        make_lr(cfg, 5)
