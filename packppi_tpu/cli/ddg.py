@@ -89,7 +89,10 @@ def run_eval_csv(args) -> dict:
     model = AffinityModel.create(NetworkConfig(), mode=args.mode)
     key = jax.random.key(args.seed)
     k_bb, k_net = jax.random.split(key)
-    first = next(iter(loader))
+    # shape template straight from the dataset: starting (and abandoning) a
+    # loader iterator here would leave its prefetch worker blocked on a full
+    # queue and re-featurize the first batches when the real loop starts
+    first = stack_affinity_batch([DS()[0]])
 
     if args.pre_ckpt:
         template = jax.eval_shape(lambda: model.backbone.init(jax.random.key(0), first.wild()))
@@ -123,9 +126,10 @@ def run_eval_csv(args) -> dict:
            "rmse": float(np.sqrt(np.mean((p - y) ** 2))),
            "mae": float(np.mean(np.abs(p - y)))}
     if len(p) > 2 and p.std() > 0 and y.std() > 0:
+        from packppi_tpu.utils.metrics import spearman
+
         out["pearson"] = float(np.corrcoef(p, y)[0, 1])
-        rp, ry = np.argsort(np.argsort(p)), np.argsort(np.argsort(y))
-        out["spearman"] = float(np.corrcoef(rp, ry)[0, 1])
+        out["spearman"] = spearman(p, y)
     print(json.dumps(out))
 
     outdir = Path(args.outdir)

@@ -135,7 +135,6 @@ class TorsionalDiffusion:
 
         m1 = batch.chi_1pi_periodic_mask
         m2 = batch.chi_2pi_periodic_mask
-        m_any = batch.SC_D_mask > 0
 
         # the backbone never moves during sampling: build the kNN graph and
         # the 468-dim edge features ONCE instead of once per denoising step
@@ -153,10 +152,15 @@ class TorsionalDiffusion:
             sc = wrap_angle(sc) * batch.SC_D_mask
 
             for _ in range(corrector_steps):
-                key, kc = jax.random.split(key)
+                # per-schedule Langevin correction: each periodicity's step
+                # size comes from ITS OWN masked score/noise norms (reference:
+                # src/models/components/schedule.py:237-273 — step_correct is
+                # a per-schedule method applied under that schedule's mask)
+                key, kc1, kc2 = jax.random.split(key, 3)
                 score, _ = self.apply(params, batch, sc, t, deterministic=True,
                                       static=static, skip_last_edge_update=True)
-                sc = self.schedule_2pi.step_correct(kc, sc, score, m_any)
+                sc = self.schedule_pi.step_correct(kc1, sc, score, m1)
+                sc = self.schedule_2pi.step_correct(kc2, sc, score, m2)
                 sc = wrap_angle(sc) * batch.SC_D_mask
             return (sc, key), sc_in
 

@@ -3,10 +3,11 @@
 The clash sum needs every atom-pair distance under a pair mask. Instead of
 materializing the [L, L, 14, 14] tensor (reference) or row blocks of it
 (our lax.scan path), this kernel tiles the [A, A] atom-pair space
-(A = L*14), computes squared distances with the MXU via the Gram-matrix
-identity  d2(a,b) = |a|^2 + |b|^2 - 2 a.b,  rebuilds the exemption masks
-from per-atom metadata in registers, and accumulates row/column sums in
-VMEM — HBM traffic is O(A) per tile row instead of O(A^2) total.
+(A = L*14), computes squared distances as fused VPU broadcast diffs (a
+Gram-matrix MXU formulation was tried and REJECTED — see the in-kernel
+comment and PERF.md), rebuilds the exemption masks from per-atom metadata
+in registers, and accumulates row/column sums in VMEM — HBM traffic is
+O(A) per tile row instead of O(A^2) total.
 
 Data layout: atom attributes are stored TRANSPOSED, [attr, A], so atoms sit
 on the 128-wide lane dimension (an [A, attr] layout would pad each 4-wide

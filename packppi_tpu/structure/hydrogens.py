@@ -113,7 +113,16 @@ H_SPEC: dict[str, list] = {
 
 
 def _unit(v):
-    return v / max(np.linalg.norm(v), 1e-9)
+    # scalar math beats np.linalg.norm by ~10x on single 3-vectors, and this
+    # sits under every per-atom H-placement helper
+    n = (v[0] * v[0] + v[1] * v[1] + v[2] * v[2]) ** 0.5
+    return v / max(n, 1e-9)
+
+
+def _cross3(a, b):
+    return np.array([a[1] * b[2] - a[2] * b[1],
+                     a[2] * b[0] - a[0] * b[2],
+                     a[0] * b[1] - a[1] * b[0]])
 
 
 def _tetra_one(x, n1, n2, n3, blen):
@@ -124,7 +133,7 @@ def _tetra_one(x, n1, n2, n3, blen):
 def _tetra_two(x, n1, n2, blen):
     ua, ub = _unit(n1 - x), _unit(n2 - x)
     bis = -_unit(ua + ub)
-    perp = _unit(np.cross(ua, ub))
+    perp = _unit(_cross3(ua, ub))
     half = _TETRA / 2
     return [x + blen * (np.cos(half) * bis + s * np.sin(half) * perp)
             for s in (+1, -1)]
@@ -142,20 +151,29 @@ def _sp2_pair(x, parent, plane_ref, blen):
     return [x + blen * (c * w + s * p), x + blen * (c * w - s * p)]
 
 
-def _rotor(x, parent, dref, blen, n_h, theta=_TETRA, phase=0.0):
-    """n_h H staggered about the parent->x axis: dihedral(dref, parent, x, H)
-    = 180, 60, -60 deg (plus ``phase``)."""
+def _rotor_frame(x, parent, dref):
+    """Orthonormal (axis, p, q) frame of a rotor about parent->x."""
     axis = _unit(x - parent)
     r = dref - parent
     p = _unit(r - np.dot(r, axis) * axis)
-    q = np.cross(axis, p)
-    out = []
-    for k in range(n_h):
-        phi = np.pi + phase + k * (2 * np.pi / 3)
-        d = np.cos(np.pi - theta) * axis + np.sin(np.pi - theta) * (
-            np.cos(phi) * p + np.sin(phi) * q)
-        out.append(x + blen * _unit(d))
-    return out
+    return axis, p, _cross3(axis, p)
+
+
+def _rotor_phases(x, parent, dref, blen, n_h, phases, theta=_TETRA):
+    """H positions [n_phases, n_h, 3] staggered about the parent->x axis:
+    dihedral(dref, parent, x, H) = 180, 60, -60 deg (plus each phase)."""
+    axis, p, q = _rotor_frame(x, parent, dref)
+    phases = np.atleast_1d(np.asarray(phases, np.float64))
+    phi = np.pi + phases[:, None] + np.arange(n_h) * (2 * np.pi / 3)  # [P, n_h]
+    d = (np.cos(np.pi - theta) * axis
+         + np.sin(np.pi - theta) * (np.cos(phi)[..., None] * p
+                                    + np.sin(phi)[..., None] * q))
+    return x + blen * d  # d is unit by construction (orthonormal frame)
+
+
+def _rotor(x, parent, dref, blen, n_h, theta=_TETRA, phase=0.0):
+    """n_h H staggered about the parent->x axis (single-phase convenience)."""
+    return list(_rotor_phases(x, parent, dref, blen, n_h, [phase], theta)[0])
 
 
 def heavy_graph(prot):
@@ -490,46 +508,64 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
     acceptor = np.asarray([is_hbond_acceptor(rn, nm)
                            for rn, nm in zip(_rn, names)])
 
-    # spatial grid over heavy atoms
-    _, near = _cell_list(coords, cutoff)
+    # KD-tree over heavy atoms, all rotor neighborhoods in one batched query
+    from scipy.spatial import cKDTree
 
-    for first, n_h, x, parent_xyz, dref, blen, symmetric in rotors:
+    coords = np.asarray(coords, np.float64).reshape(-1, 3)
+    n_heavy = len(coords)
+    tree = cKDTree(coords)
+    rotor_x = np.asarray([r[2] for r in rotors], np.float64).reshape(-1, 3)
+    neighborhoods = tree.query_ball_point(rotor_x, cutoff)
+
+    # bond-separation table as sorted encoded keys for vectorized lookups
+    if sep:
+        sep_keys = np.array([k0 * n_heavy + k1 for (k0, k1) in sep], np.int64)
+        sep_vals = np.array(list(sep.values()), np.int64)
+        order = np.argsort(sep_keys)
+        sep_keys, sep_vals = sep_keys[order], sep_vals[order]
+    else:
+        sep_keys = np.empty(0, np.int64)
+        sep_vals = np.empty(0, np.int64)
+
+    for (first, n_h, x, parent_xyz, dref, blen, symmetric), cand in zip(rotors, neighborhoods):
         i = pres[first]
         s = pslot[first]
         parent_flat = int(flat_index[i, s])
-        if parent_flat < 0:
+        if parent_flat < 0 or not cand:
             continue
         is_polar = polar[first]
         h_rad = PROBE_H_POLAR_RADIUS if is_polar else PROBE_H_RADIUS
 
-        cand = near(x)
-        if len(cand) == 0:
-            continue
         # drop heavy atoms bonded within 2 of the parent (H adds one bond)
-        keep = []
-        for c in cand:
-            a, b = (parent_flat, int(c)) if parent_flat < c else (int(c), parent_flat)
-            if a == b or sep.get((a, b), 4) <= 2:
-                continue
-            if is_polar and acceptor[c]:
-                continue
-            keep.append(int(c))
-        if not keep:
+        cand = np.asarray(cand, np.int64)
+        lo = np.minimum(cand, parent_flat)
+        hi = np.maximum(cand, parent_flat)
+        enc = lo * n_heavy + hi
+        bsep = np.full(len(cand), 4, np.int64)
+        if len(sep_keys):
+            p_ = np.clip(np.searchsorted(sep_keys, enc), 0, len(sep_keys) - 1)
+            hit = sep_keys[p_] == enc
+            bsep[hit] = sep_vals[p_[hit]]
+        mask = (cand != parent_flat) & (bsep > 2)
+        if is_polar:
+            mask &= ~acceptor[cand]
+        keep = cand[mask]
+        if len(keep) == 0:
             continue
         kc = coords[keep]
         kr = radii[keep]
 
         span = 2 * np.pi / 3 if symmetric else 2 * np.pi
-        best_phase, best_cost = 0.0, np.inf
-        for phase in np.linspace(0, span, n_phases, endpoint=False):
-            hs = _rotor(x, parent_xyz, dref, blen, n_h, phase=phase)
-            cost = 0.0
-            for h in hs:
-                gap = np.linalg.norm(kc - h, axis=-1) - (kr + h_rad)
-                cost += float(np.clip(-gap, 0, None).sum())
-            if cost < best_cost - 1e-12:
-                best_cost, best_phase = cost, phase
-        if best_phase != 0.0:
-            for k, h in enumerate(_rotor(x, parent_xyz, dref, blen, n_h,
-                                         phase=best_phase)):
-                pos[first + k] = h
+        phases = np.linspace(0, span, n_phases, endpoint=False)
+        hs = _rotor_phases(x, parent_xyz, dref, blen, n_h, phases)  # [P, n_h, 3]
+        gap = (np.linalg.norm(kc[None, None] - hs[:, :, None], axis=-1)
+               - (kr + h_rad))                                      # [P, n_h, K]
+        costs = np.clip(-gap, 0, None).sum(axis=(1, 2))
+        # first phase wins ties (improvement must exceed 1e-12, phase 0 default)
+        best = 0
+        for j in range(1, n_phases):
+            if costs[j] < costs[best] - 1e-12:
+                best = j
+        if best != 0:
+            for k in range(n_h):
+                pos[first + k] = hs[best, k]

@@ -494,9 +494,10 @@ def train_affinity(cfg) -> dict:
         if preds:
             p, y = np.concatenate(preds), np.concatenate(labels)
             if len(p) > 2 and p.std() > 0 and y.std() > 0:
+                from packppi_tpu.utils.metrics import spearman
+
                 extras["val/pearson"] = float(np.corrcoef(p, y)[0, 1])
-                rp, ry = np.argsort(np.argsort(p)), np.argsort(np.argsort(y))
-                extras["val/spearman"] = float(np.corrcoef(rp, ry)[0, 1])
+                extras["val/spearman"] = spearman(p, y)
             extras["val/rmse"] = float(np.sqrt(np.mean((p - y) ** 2)))
         metrics_log.log(step, {"train/loss": train_loss, "val/loss": val_loss, **extras})
         log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} {extras}")

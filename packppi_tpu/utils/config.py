@@ -131,8 +131,16 @@ def make_run_dir(base: str, multirun: bool = False, job: Optional[int] = None,
     d = Path(base) / ("multiruns" if multirun else "runs") / ts
     if multirun:
         d = d / str(job)
-    d.mkdir(parents=True, exist_ok=True)
-    return d
+    # second-resolution timestamps collide when two runs launch together;
+    # claim the directory atomically and retry with a counter suffix
+    candidate = d
+    for attempt in range(1, 1000):
+        try:
+            candidate.mkdir(parents=True, exist_ok=False)
+            return candidate
+        except FileExistsError:
+            candidate = d.with_name(f"{d.name}_{attempt}")
+    raise RuntimeError(f"could not create a unique run dir under {d.parent}")
 
 
 def get_metric_value(metric_dict: dict, metric_name: Optional[str]):

@@ -19,6 +19,15 @@ import numpy as np
 from packppi_tpu.chem import CHEM
 
 
+def spearman(p: np.ndarray, y: np.ndarray) -> float:
+    """Standard Spearman rho with average ranks for ties (SKEMPI ddG labels
+    are heavily tied; double-argsort ranking would assign arbitrary distinct
+    ranks and deviate from scipy.stats.spearmanr)."""
+    from scipy.stats import spearmanr
+
+    return float(spearmanr(p, y).statistic)
+
+
 def chi_metrics(sc_true, sc_pred, sc_mask, pi_periodic_mask,
                 interface_mask=None, prefix: str = "chi"):
     """Per-chi accuracy (<20 deg) and absolute error.
@@ -76,7 +85,8 @@ PROBE_H_POLAR_RADIUS = 1.05  # H bonded to N/O/S
 SERIOUS_OVERLAP = 0.4        # MolProbity 'clashscore' threshold, Angstrom
 
 
-def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP) -> float:
+def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP,
+                     hbond_overlap_cap: float = 0.8) -> float:
     """H-aware clashscore: serious steric overlaps per 1000 atoms,
     Probe/MolProbity semantics (reference shells out to
     ``molprobity.clashscore keep_hydrogens=True``,
@@ -131,47 +141,47 @@ def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP) -> float:
     is_acceptor = np.concatenate([np.asarray(acceptor, bool),
                                   np.zeros(len(h_parent), bool)])
 
-    def bond_sep(a, b):
-        """Bond-path distance, capped at 4 (anything > 3 is 'far')."""
-        pa, pb = parent[a], parent[b]
-        base = heavy_dist.get((min(pa, pb), max(pa, pb)))
-        if pa == pb:
-            base = 0
-        if base is None:
-            return 4
-        return base + int(is_h[a]) + int(is_h[b])
+    # ---- vectorized pair sweep (KD-tree candidates, array filters) ------
+    from scipy.spatial import cKDTree
 
-    # ---- cell-list pair sweep -------------------------------------------
-    cell = 3.2  # > max contact distance 2*1.782 - 0.4 = 3.16
-    keys = np.floor(all_coords / cell).astype(np.int64)
-    buckets: dict[tuple, list] = {}
-    for k in range(n_all):
-        buckets.setdefault(tuple(keys[k]), []).append(k)
+    # max contact distance: two largest shells minus the overlap threshold
+    r_max = 2 * float(all_radii.max()) - overlap + 1e-3
+    pairs = cKDTree(all_coords).query_pairs(r_max, output_type="ndarray")
+    if len(pairs) == 0:
+        return 0.0
+    a, b = pairs[:, 0], pairs[:, 1]  # a < b, each unordered pair once
+    gap = (np.linalg.norm(all_coords[a] - all_coords[b], axis=-1)
+           - (all_radii[a] + all_radii[b]))
+    sel = gap <= -overlap
+    a, b, gap = a[sel], b[sel], gap[sel]
 
-    n_clashes = 0
-    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-               for dz in (-1, 0, 1)]
-    for key, members in buckets.items():
-        neigh = []
-        for off in offsets:
-            neigh.extend(buckets.get((key[0] + off[0], key[1] + off[1],
-                                      key[2] + off[2]), []))
-        ma = np.asarray(members)
-        na = np.asarray(neigh)
-        d = np.linalg.norm(all_coords[ma][:, None] - all_coords[na][None], axis=-1)
-        gap = d - (all_radii[ma][:, None] + all_radii[na][None])
-        cand = np.argwhere(gap <= -overlap)
-        for ci, cj in cand:
-            a, b = int(ma[ci]), int(na[cj])
-            if a >= b:
-                continue  # each unordered pair once (same-bucket dedup)
-            if bond_sep(a, b) <= 3:
-                continue
-            # H-bond: polar H against an acceptor (Probe scores these as
-            # H-bonds, not clashes)
-            if (is_polar_h[a] and is_acceptor[b]) or (is_polar_h[b] and is_acceptor[a]):
-                continue
-            n_clashes += 1
+    # bond-path distance via the heavy-bond table (encoded-key searchsorted;
+    # pairs absent from the <=3-bond table are 'far')
+    pa, pb = parent[a], parent[b]
+    lo = np.minimum(pa, pb).astype(np.int64)
+    hi = np.maximum(pa, pb).astype(np.int64)
+    base = np.full(len(a), 4, np.int64)
+    if heavy_dist:
+        enc_keys = np.array([k0 * n_heavy + k1 for (k0, k1) in heavy_dist], np.int64)
+        enc_vals = np.array(list(heavy_dist.values()), np.int64)
+        order = np.argsort(enc_keys)
+        enc_keys, enc_vals = enc_keys[order], enc_vals[order]
+        enc = lo * n_heavy + hi
+        pos = np.searchsorted(enc_keys, enc)
+        pos = np.clip(pos, 0, len(enc_keys) - 1)
+        hit = enc_keys[pos] == enc
+        base[hit] = enc_vals[pos[hit]]
+    base[pa == pb] = 0
+    bond_sep = base + is_h[a].astype(np.int64) + is_h[b].astype(np.int64)
+
+    # H-bond exemption: polar H against an acceptor scores as an H-bond, not
+    # a clash — but only up to a plausible H-bond interpenetration; deeper
+    # overlap at a donor/acceptor contact is still a clash (Probe counts
+    # severe penetration at H-bond sites; see PARITY.md known deviations)
+    hbond = ((is_polar_h[a] & is_acceptor[b]) | (is_polar_h[b] & is_acceptor[a]))
+    waived = hbond & (-gap < hbond_overlap_cap)
+
+    n_clashes = int(np.count_nonzero((bond_sep > 3) & ~waived))
     return 1000.0 * n_clashes / max(n_all, 1)
 
 

@@ -140,3 +140,19 @@ def test_ddg_eval_csv_mode(tmp_path):
     for r, e in zip(rows, expected):
         assert r["mutstr"] == e["mutstr"]
         assert abs(r["ddg_exp"] - e["ddG"]) < 1e-6
+
+
+def test_pack_cli_corrector_steps(tmp_path):
+    """--corrector_steps 1 runs the per-schedule Langevin corrector inside
+    the sampler scan and still writes a valid structure."""
+    from packppi_tpu.cli.pack import run
+
+    args = argparse.Namespace(
+        input=os.path.join(FIXTURES, "1brs.pdb"), outdir=str(tmp_path),
+        ckpt=None, use_proximal=False, seed=0, platform=None, n_steps=2,
+        molprobity_loc=None, exact_length=True, print_metrics=False,
+        batch_size=1, precision="float32", no_fused=True, corrector_steps=1)
+    metrics = run(args)
+    assert (tmp_path / "structure.pdb").exists()
+    assert np.isfinite(metrics["clashscore"])
+    assert 0 <= metrics["total_acc"] <= 1

@@ -287,3 +287,14 @@ def test_make_lr_schedule():
     cfg["lr_schedule"] = "bogus"
     with pytest.raises(ValueError):
         make_lr(cfg, 5)
+
+
+def test_make_run_dir_collision_suffix(tmp_path):
+    """Two runs in the same second get distinct directories (counter suffix)
+    instead of silently sharing one."""
+    from packppi_tpu.utils.config import make_run_dir
+    a = make_run_dir(str(tmp_path), timestamp="2026-01-02_03-04-05")
+    b = make_run_dir(str(tmp_path), timestamp="2026-01-02_03-04-05")
+    c = make_run_dir(str(tmp_path), timestamp="2026-01-02_03-04-05")
+    assert len({a, b, c}) == 3
+    assert all(p.is_dir() for p in (a, b, c))

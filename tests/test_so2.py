@@ -118,3 +118,30 @@ def test_lookup_matches_reference_binning():
         reln = np.abs(got_n - want_n) / np.maximum(np.abs(want_n), 1e-9)
         assert np.median(reln) < 0.03
         assert np.quantile(reln, 0.95) < 0.08
+
+
+def test_step_correct_per_schedule_composition():
+    """The sampler's corrector applies each periodicity's step_correct under
+    its own mask (reference: src/models/components/schedule.py:237-273 is a
+    per-schedule method). With disjoint masks the composition must equal each
+    schedule's standalone update on its own chi subset — i.e. the pi-periodic
+    step size is computed from pi-periodic chis only."""
+    sp = SO2Schedule.create(pi_periodic=True)
+    s2 = SO2Schedule.create(pi_periodic=False)
+    k1, k2 = jax.random.split(jax.random.key(7))
+    kx, ks = jax.random.split(jax.random.key(8))
+    x = jax.random.uniform(kx, (2, 8, 4), minval=-np.pi, maxval=np.pi)
+    score = jax.random.normal(ks, (2, 8, 4))
+    valid = np.zeros((2, 8, 4), bool)
+    valid[:, :6] = True
+    m1 = valid & (np.arange(4) % 2 == 0)   # "pi-periodic" chis
+    m2 = valid & ~m1                       # 2pi-periodic chis
+
+    composed = s2.step_correct(k2, sp.step_correct(k1, x, score, m1), score, m2)
+    a = sp.step_correct(k1, x, score, m1)  # same keys -> same noise draws
+    b = s2.step_correct(k2, x, score, m2)
+    expected = np.where(m1, np.asarray(a), np.where(m2, np.asarray(b), np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(composed), expected, atol=1e-6)
+
+    # masked-out entries never move
+    np.testing.assert_allclose(np.asarray(composed)[~valid], np.asarray(x)[~valid])

@@ -16,6 +16,20 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+
+def _latest_bench_pack_s():
+    """Amortized per-pack latency from the newest BENCH_r*.json (the driver
+    records bench.py output there each round); None if absent."""
+    best = None
+    for f in sorted(REPO.glob("BENCH_r*.json")):
+        try:
+            parsed = json.loads(f.read_text()).get("parsed") or {}
+            if parsed.get("metric") == "t1124_pack_latency":
+                best = float(parsed["value"])
+        except (ValueError, KeyError, TypeError):
+            continue
+    return best
 sys.path.insert(0, str(REPO))
 
 # peak dense matmul throughput, FLOP/s
@@ -33,6 +47,9 @@ def _timeit(fn):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--bench_pack_s", type=float, default=None,
+                    help="amortized per-pack seconds from the latest bench.py "
+                         "run (default: read BENCH_r*.json, newest round)")
     args = ap.parse_args()
 
     from packppi_tpu.utils.platform import configure_platform, enable_compilation_cache
@@ -123,9 +140,11 @@ def main():
             f = out[name].get("flops_corrected", out[name]["flops"])
             out[name]["mfu_bf16_peak_tunnel_timed"] = round(
                 f / out[name]["seconds"] / peak["bf16"], 5)
-        bench_pack_s = 0.0466  # BENCH_r01 amortized on-chip per-pack time
-        out["pack_30steps"]["mfu_bf16_peak_amortized"] = round(
-            out["pack_30steps"]["flops_corrected"] / bench_pack_s / peak["bf16"], 5)
+        bench_pack_s = args.bench_pack_s or _latest_bench_pack_s()
+        if bench_pack_s:
+            out["pack_30steps"]["bench_pack_s"] = bench_pack_s
+            out["pack_30steps"]["mfu_bf16_peak_amortized"] = round(
+                out["pack_30steps"]["flops_corrected"] / bench_pack_s / peak["bf16"], 5)
     print(json.dumps(out))
     (REPO / "cache").mkdir(exist_ok=True)
     (REPO / "cache" / "flops_report.json").write_text(json.dumps(out))
