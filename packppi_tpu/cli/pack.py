@@ -32,7 +32,11 @@ def build_parser():
     p.add_argument("--input", required=True,
                    help="input PDB, or a directory of PDBs for batched packing")
     p.add_argument("--batch_size", type=int, default=4,
-                   help="complexes per device batch in directory mode")
+                   help="sampler rows PER DEVICE in directory mode (the "
+                        "global batch is batch_size x n_devices)")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="devices to shard directory-mode batches over "
+                        "(default: all; rows shard over a 'data' mesh axis)")
     p.add_argument("--outdir", default="packppi_out", help="output directory")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint with network params")
     p.add_argument("--use_proximal", action="store_true", help="proximal clash refinement")
@@ -158,7 +162,15 @@ def run(args) -> dict:
 
 def run_directory(args) -> list:
     """Batched throughput mode: pack every PDB in a directory, bucketing by
-    length so each XLA compilation serves many complexes."""
+    length so each XLA compilation serves many complexes.
+
+    SPMD over all devices: rows shard over a ``data`` mesh axis, so the same
+    run scales 1 chip -> pod slice (the reference distributes training only;
+    reference: configs/trainer/ddp.yaml:4-9). ``--n_samples`` packs N noise
+    samples per complex in the same row budget and keeps the least-clashing
+    one; ``--use_proximal`` refines every winner with the batched proximal
+    optimizer (accept rule applied per complex via its own loss trajectory).
+    """
     from packppi_tpu.utils.platform import configure_platform
     configure_platform(getattr(args, "platform", None))
     import jax
@@ -167,6 +179,8 @@ def run_directory(args) -> list:
     from packppi_tpu.data.batch import bucket_length
     from packppi_tpu.geometry import atom14_coords_from_torsions
     from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.ops.clash import compute_residue_clash
+    from packppi_tpu.sampling import proximal_optimize
     from packppi_tpu.structure import from_pdb_file, to_pdb
     from packppi_tpu.structure.featurize import featurize
     from packppi_tpu.train import load_model_params
@@ -183,6 +197,14 @@ def run_directory(args) -> list:
         proteins.append((p, prot))
         feats.append(featurize(prot))
 
+    n_samples = max(1, getattr(args, "n_samples", 1))
+    n_devices = getattr(args, "n_devices", None) or jax.device_count()
+    # fixed row budget per executable: batch_size rows per device
+    budget = max(args.batch_size, 1) * n_devices
+    per_chunk = max(1, budget // n_samples)                      # complexes/step
+    rows = -(-per_chunk * n_samples // n_devices) * n_devices    # sampler rows
+    rows_b = -(-per_chunk // n_devices) * n_devices              # winner rows
+
     fused = (not getattr(args, "no_fused", False)
              and jax.default_backend().startswith(("tpu", "axon")))
     net_cfg = NetworkConfig(compute_dtype=getattr(args, "precision", "bfloat16"),
@@ -198,11 +220,44 @@ def run_directory(args) -> list:
         key, k_init = jax.random.split(key)
         params = model.init(k_init, init_batch)
 
-    sample_fn = jax.jit(lambda p, k, b: model.sample(
-        p, k, b, n_steps=args.n_steps,
-        corrector_steps=getattr(args, "corrector_steps", 0)))
-    coords_fn = jax.jit(lambda b, sc: atom14_coords_from_torsions(
-        b.X, b.residue_type, b.BB_D, sc))
+    def _sample(p, k, b):
+        sc = model.sample(p, k, b, n_steps=args.n_steps,
+                          corrector_steps=getattr(args, "corrector_steps", 0))
+        clash = (compute_residue_clash(b, sc) * b.residue_mask).sum(-1)
+        return sc, clash
+
+    def _refine(b, sc):
+        return proximal_optimize(
+            b, sc, model.sample_cfg.violation_tolerance_factor,
+            model.sample_cfg.clash_overlap_tolerance,
+            model.sample_cfg.lamda, model.sample_cfg.num_steps)
+
+    coords_of = lambda b, sc: atom14_coords_from_torsions(
+        b.X, b.residue_type, b.BB_D, sc)
+
+    if n_devices > 1:
+        # rows shard over 'data'; params/keys replicate; XLA partitions the
+        # row-independent sampler with zero collectives on the hot path
+        from packppi_tpu.parallel import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(n_devices, model_parallel=1)
+        rep, b_shard = replicated(mesh), batch_sharding(mesh)
+        shard_batch = lambda b: jax.device_put(b, jax.tree.map(lambda _: b_shard, b))
+        sample_fn = jax.jit(_sample, in_shardings=(rep, rep, b_shard),
+                            out_shardings=(b_shard, b_shard))
+        from packppi_tpu.sampling.proximal import ProximalResult
+
+        refine_fn = jax.jit(_refine, in_shardings=(b_shard, b_shard),
+                            out_shardings=ProximalResult(
+                                SC_D=b_shard, losses=rep, clash_mask=b_shard,
+                                row_losses=rep))
+        coords_fn = jax.jit(coords_of, in_shardings=(b_shard, b_shard),
+                            out_shardings=b_shard)
+    else:
+        shard_batch = lambda b: b
+        sample_fn = jax.jit(_sample)
+        refine_fn = jax.jit(_refine)
+        coords_fn = jax.jit(coords_of)
 
     by_bucket: dict[int, list[int]] = {}
     for i, f in enumerate(feats):
@@ -211,26 +266,58 @@ def run_directory(args) -> list:
     results = []
     t0 = time.perf_counter()
     for bucket, members in sorted(by_bucket.items()):
-        for s in range(0, len(members), args.batch_size):
-            chunk = members[s:s + args.batch_size]
-            batch = stack_batch([feats[i] for i in chunk], target_len=bucket)
+        for s in range(0, len(members), per_chunk):
+            chunk = members[s:s + per_chunk]
+            # fixed shapes: pad the chunk with repeats of its last complex
+            padded = chunk + [chunk[-1]] * (per_chunk - len(chunk))
+            row_feats = [feats[i] for i in padded for _ in range(n_samples)]
+            row_feats += [row_feats[-1]] * (rows - len(row_feats))
+            batch = shard_batch(stack_batch(row_feats, target_len=bucket))
             key, k = jax.random.split(key)
-            sc = sample_fn(params, k, batch)
-            coords = np.asarray(coords_fn(batch, sc))
+            sc, clash = sample_fn(params, k, batch)
+
+            # least-clashing sample per complex
+            clash = np.asarray(clash)
+            win = [c * n_samples + int(np.argmin(clash[c * n_samples:(c + 1) * n_samples]))
+                   for c in range(per_chunk)]
+            if n_samples > 1:
+                sc_host = np.asarray(sc)[win]
+            else:
+                sc_host = np.asarray(sc)
+            win_feats = [feats[i] for i in padded]
+            win_feats += [win_feats[-1]] * (rows_b - per_chunk)
+            sc_host = np.concatenate(
+                [sc_host, np.repeat(sc_host[-1:], rows_b - per_chunk, 0)], 0)
+            wbatch = shard_batch(stack_batch(win_feats, target_len=bucket))
+            sc_win = jax.device_put(
+                jax.numpy.asarray(sc_host),
+                b_shard if n_devices > 1 else None)
+
+            if getattr(args, "use_proximal", False):
+                res = refine_fn(wbatch, sc_win)
+                row_losses = np.asarray(res.row_losses)
+                accept = row_losses[-1] < row_losses[0]     # [rows_b]
+                sc_win = jax.numpy.where(
+                    jax.numpy.asarray(accept)[:, None, None], res.SC_D, sc_win)
+
+            coords = np.asarray(coords_fn(wbatch, sc_win))
             for row, i in enumerate(chunk):
                 path, prot = proteins[i]
                 L = len(feats[i]["residue_type"])
-                row_batch = batch._replace(atom_mask=batch.atom_mask[row:row + 1])
+                row_batch = wbatch._replace(atom_mask=wbatch.atom_mask[row:row + 1])
                 out_prot = _merge_output_structure(
                     prot, feats[i], row_batch, coords[row:row + 1], L)
                 out_path = outdir / path.name
                 out_path.write_text(to_pdb(out_prot))
                 results.append({"input": str(path), "output": str(out_path)})
     elapsed = time.perf_counter() - t0
-    print(f"packed {len(results)} complexes in {elapsed:.2f}s "
-          f"({elapsed / max(len(results), 1):.3f}s each)")
+    print(f"packed {len(results)} complexes in {elapsed:.2f}s on {n_devices} "
+          f"device(s) ({elapsed / max(len(results), 1):.3f}s each)")
     (outdir / "summary.json").write_text(json.dumps(
-        {"n": len(results), "seconds": elapsed, "results": results}, indent=1))
+        {"n": len(results), "seconds": elapsed, "n_devices": n_devices,
+         "n_samples": n_samples,
+         "use_proximal": bool(getattr(args, "use_proximal", False)),
+         "results": results}, indent=1))
     return results
 
 

@@ -30,14 +30,22 @@ def _masked_mean(x, mask, eps=1e-10):
     return (x * mask).sum() / (mask.sum() + eps)
 
 
+def _row_mean(x, mask, eps=1e-10):
+    """Per-complex masked mean over all but the batch axis. [B]"""
+    axes = tuple(range(1, x.ndim))
+    return (x * mask).sum(axes) / (mask.sum(axes) + eps)
+
+
 def find_clash_mask(batch: ProteinBatch, SC_D,
                     violation_tolerance_factor: float = 12.0,
                     clash_overlap_tolerance: float = 0.5,
                     block: int = 128):
-    """Residues whose clash exceeds the mean get optimized. [B, L, 4] bool."""
+    """Residues whose clash exceeds their complex's mean get optimized.
+    [B, L, 4] bool. (Per-complex thresholds: batched complexes stay
+    independent; identical to the reference's global mean at B=1.)"""
     prc = compute_residue_clash(batch, SC_D, violation_tolerance_factor,
                                 clash_overlap_tolerance, block=block)
-    mean_clash = _masked_mean(prc, batch.residue_mask)
+    mean_clash = _row_mean(prc, batch.residue_mask)[:, None]
     sel = (prc > mean_clash) & (batch.residue_mask > 0)
     return jnp.broadcast_to(sel[..., None], (*sel.shape, 4))
 
@@ -49,6 +57,9 @@ class ProximalResult(NamedTuple):
     #                          accept rule losses[-1] < losses[0] matches
     #                          (reference: src/models/components/optimize.py:60-71)
     clash_mask: jnp.ndarray  # [B, L, 4] which chis were optimized
+    row_losses: jnp.ndarray  # [num_steps, B] per-complex trajectories (equal
+    #                          to losses[:, None] at B=1) — batched callers
+    #                          apply the accept rule per complex
 
 
 def proximal_optimize(batch: ProteinBatch, SC_D,
@@ -67,21 +78,24 @@ def proximal_optimize(batch: ProteinBatch, SC_D,
         x_eff = jnp.where(clash_mask, x, SC_D)
         prc = compute_residue_clash(batch, x_eff, violation_tolerance_factor,
                                     clash_overlap_tolerance, block=block)
-        sc_loss = _masked_mean(((x_eff - z) ** 2).sum(-1), rm)
-        return sc_loss + lamda * _masked_mean(prc, rm)
+        row = (_row_mean(((x_eff - z) ** 2).sum(-1), rm)
+               + lamda * _row_mean(prc, rm))   # [B] independent complexes
+        return row.mean(), row
 
     opt = optax.adam(lr)
-    loss_grad = jax.value_and_grad(objective)
+    loss_grad = jax.value_and_grad(objective, has_aux=True)
 
     def step(carry, _):
         x, opt_state = carry
-        loss, g = loss_grad(x)
+        (loss, row), g = loss_grad(x)
         updates, opt_state = opt.update(g, opt_state, x)
         x = optax.apply_updates(x, updates)
-        return (x, opt_state), loss
+        return (x, opt_state), (loss, row)
 
     # losses[k] is the objective *before* step k — the same points the
     # reference records into loss_list, so losses[0] is the initial objective
     # and losses[-1] is the pre-final-step value used by the accept rule.
-    (x, _), losses = jax.lax.scan(step, (z, opt.init(z)), None, length=num_steps)
-    return ProximalResult(jnp.where(clash_mask, x, SC_D), losses, clash_mask)
+    (x, _), (losses, row_losses) = jax.lax.scan(
+        step, (z, opt.init(z)), None, length=num_steps)
+    return ProximalResult(jnp.where(clash_mask, x, SC_D), losses, clash_mask,
+                          row_losses)
