@@ -83,6 +83,24 @@ def main() -> None:
                 for k in range(5))
     value = max(total - floor, 1e-9) / R  # seconds per full 30-step pack
 
+    # batched throughput: 8 complexes per sampler pass (directory mode's
+    # layout) — the MXU sees 8x larger matmuls, so complexes/s beats 1/latency
+    B = 8
+    batch8 = stack_batch([feats] * B)
+    R8 = 4
+    keys8 = jax.random.split(jax.random.key(43), R8 - 1)
+    float(pack_repeat(params, jax.random.key(2), batch8, keys8))  # compile + warm
+    total8 = min(_timeit(lambda: float(pack_repeat(params, jax.random.key(k), batch8, keys8)))
+                 for k in range(3))
+    throughput = B * R8 / max(total8 - floor, 1e-9)
+
+    print(json.dumps({
+        "metric": "t1124_pack_throughput_b8",
+        "value": round(throughput, 2),
+        "unit": "complex/s",
+        "vs_baseline": round(throughput * MEASURED_REFERENCE_SECONDS, 2),
+        "baseline_source": BASELINE_SOURCE,
+    }))
     print(json.dumps({
         "metric": "t1124_pack_latency",
         "value": round(value, 4),

@@ -19,12 +19,35 @@ def save_params(path: str, params) -> None:
     ckptr.wait_until_finished()
 
 
+def _restore_as_numpy(path):
+    """Topology-independent restore: every leaf comes back as a host numpy
+    array regardless of the device mesh the checkpoint was saved on (a
+    TPU-trained checkpoint must load on a CPU eval host and vice versa)."""
+    import jax
+    import numpy as np
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def load_params(path: str, template=None):
     path = Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
-    if template is not None:
-        return ckptr.restore(path, template)
-    return ckptr.restore(path)
+    try:
+        if template is not None:
+            return ckptr.restore(path, template)
+        return ckptr.restore(path)
+    except ValueError:
+        # saved-sharding devices absent in this process (cross-topology)
+        restored = _restore_as_numpy(path)
+        if template is not None:
+            import jax
+
+            return jax.tree.map(lambda t, r: r, template, restored)
+        return restored
 
 
 def load_model_params(path: str, template) -> dict:
