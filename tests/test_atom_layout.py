@@ -53,3 +53,27 @@ def test_sigma_embedding_modes():
         out = mod.apply(params, x, sigma)
         assert out.shape == (2, 8, 16)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_static_edge_dtype_modes_agree():
+    """The sampler's static edge cache quantizes to bf16/int8 with sub-
+    millidegree chi deviation (per-channel symmetric int8, dequant on
+    read); masked chis stay zero."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _synthetic_batch
+
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+
+    batch = _synthetic_batch(1, 32)
+    outs = {}
+    for sd in ("float32", "bfloat16", "int8"):
+        model = TorsionalDiffusion.create(NetworkConfig(static_edge_dtype=sd),
+                                          SampleConfig())
+        params = model.init(jax.random.key(0), batch)
+        outs[sd] = np.asarray(model.sample(params, jax.random.key(1), batch,
+                                           n_steps=2))
+    m = np.asarray(batch.SC_D_mask) > 0
+    for sd in ("bfloat16", "int8"):
+        assert np.abs(outs[sd] - outs["float32"])[m].max() < 0.01
+        assert (outs[sd][~m] == 0).all()
