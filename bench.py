@@ -83,8 +83,11 @@ def main() -> None:
                 for k in range(5))
     value = max(total - floor, 1e-9) / R  # seconds per full 30-step pack
 
-    # batched throughput: 8 complexes per sampler pass (directory mode's
-    # layout) — the MXU sees 8x larger matmuls, so complexes/s beats 1/latency
+    # batched throughput at B=8 — a DIAGNOSTIC, not the optimum: measured
+    # per-complex latency rises with batch on one chip (the step is
+    # VMEM-residency-bound; see PERF.md "Batching anti-scaling"), so the
+    # single-chip throughput ceiling is the B=1 line above and scale-out is
+    # across devices (directory mode's data mesh), not across batch
     B = 8
     batch8 = stack_batch([feats] * B)
     R8 = 4

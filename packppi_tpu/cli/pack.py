@@ -31,9 +31,12 @@ def build_parser():
     p = argparse.ArgumentParser(description="PackPPI-TPU side-chain packing")
     p.add_argument("--input", required=True,
                    help="input PDB, or a directory of PDBs for batched packing")
-    p.add_argument("--batch_size", type=int, default=4,
+    p.add_argument("--batch_size", type=int, default=1,
                    help="sampler rows PER DEVICE in directory mode (the "
-                        "global batch is batch_size x n_devices)")
+                        "global batch is batch_size x n_devices). Default 1: "
+                        "measured per-complex latency RISES with batch on one "
+                        "chip (VMEM-residency-bound step, see PERF.md) — "
+                        "scale throughput with devices, not batch")
     p.add_argument("--n_devices", type=int, default=None,
                    help="devices to shard directory-mode batches over "
                         "(default: all; rows shard over a 'data' mesh axis)")
