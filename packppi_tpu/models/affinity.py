@@ -145,11 +145,18 @@ class AffinityModel:
     def predict_esm(self, params, esm_wt, esm_mt, deterministic: bool = True):
         return self.net.apply(params, None, None, esm_wt, esm_mt, None, deterministic)
 
-    def loss_esm(self, params, esm_wt, esm_mt, ddg):
-        """Antisymmetric MSE over precomputed ESM embeddings ('esm' mode)."""
+    def loss_esm(self, params, esm_wt, esm_mt, ddg, weights=None):
+        """Antisymmetric MSE over precomputed ESM embeddings ('esm' mode).
+
+        ``weights`` (optional, [B]) turns the batch mean into a weighted
+        mean — sharded eval pads ragged batches to the device count with
+        zero-weight rows, keeping the metric exact."""
         pred, pred_inv = self.predict_esm(params, esm_wt, esm_mt)
         y = jnp.asarray(ddg)
-        return 0.5 * (jnp.mean((pred - y) ** 2) + jnp.mean((pred_inv + y) ** 2))
+        if weights is None:
+            return 0.5 * (jnp.mean((pred - y) ** 2) + jnp.mean((pred_inv + y) ** 2))
+        w = weights / jnp.maximum(weights.sum(), 1e-9)
+        return 0.5 * (jnp.sum(w * (pred - y) ** 2) + jnp.sum(w * (pred_inv + y) ** 2))
 
     def loss(self, params, backbone_params, key, batch: AffinityBatch):
         """Antisymmetric MSE (reference: src/models/AffinityPrediction.py:189-194)."""

@@ -320,24 +320,64 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
     optimizer = optax.adamw(cfg.trainer.lr, weight_decay=cfg.trainer.weight_decay)
     opt_state = optimizer.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, wt, mt, ddg):
+    def _train_step(params, opt_state, wt, mt, ddg):
         loss, grads = jax.value_and_grad(model.loss_esm)(params, wt, mt, ddg)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    eval_loss = jax.jit(model.loss_esm)
+    def _eval_loss(params, wt, mt, ddg, w):
+        return model.loss_esm(params, wt, mt, ddg, weights=w)
+
+    n_devices = cfg.trainer.get("n_devices") or jax.device_count()
+    # never scale the global batch past what the split can fill (tiny
+    # datasets on many-device hosts would otherwise yield zero batches)
+    n_devices = max(1, min(n_devices,
+                           len(splits["train"]) // max(1, cfg.data.batch_size)))
+    global_batch = cfg.data.batch_size * n_devices
+    if n_devices > 1:
+        # DP over the mesh: embedding batches shard over 'data', the small
+        # ddG head replicates; ragged eval tails pad with zero-weight rows
+        from packppi_tpu.parallel import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(n_devices, model_parallel=1)
+        log.info(f"mesh: {dict(mesh.shape)}")
+        rep, rows = replicated(mesh), batch_sharding(mesh)
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(opt_state, rep)
+        put = lambda *xs: tuple(jax.device_put(x, rows) for x in xs)
+        train_step = jax.jit(_train_step, in_shardings=(rep, rep, rows, rows, rows),
+                             out_shardings=(rep, rep, rep))
+        eval_loss = jax.jit(_eval_loss, in_shardings=(rep, rows, rows, rows, rows),
+                            out_shardings=rep)
+    else:
+        put = lambda *xs: xs
+        train_step = jax.jit(_train_step)
+        eval_loss = jax.jit(_eval_loss)
+
+    def eval_batches(entries):
+        for wt, mt, ddg in make_batches(entries, global_batch, False, 0):
+            n = len(ddg)
+            pad = -n % max(1, n_devices)
+            if pad:
+                wt = np.concatenate([wt, np.repeat(wt[-1:], pad, 0)], 0)
+                mt = np.concatenate([mt, np.repeat(mt[-1:], pad, 0)], 0)
+                ddg = np.concatenate([ddg, np.zeros(pad, ddg.dtype)], 0)
+            w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+            yield (*put(jnp.asarray(wt), jnp.asarray(mt), jnp.asarray(ddg)),
+                   put(jnp.asarray(w))[0])
+
     ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
     best_val, step = float("inf"), 0
     for epoch in range(cfg.trainer.max_epochs):
         losses = []
-        for wt, mt, ddg in make_batches(splits["train"], cfg.data.batch_size, True,
+        for wt, mt, ddg in make_batches(splits["train"], global_batch, True,
                                         cfg.seed + epoch):
-            params, opt_state, loss = train_step(params, opt_state, wt, mt, ddg)
+            params, opt_state, loss = train_step(
+                params, opt_state, *put(wt, mt, ddg))
             losses.append(loss)
             step += 1
-        vlosses = [eval_loss(params, wt, mt, ddg)
-                   for wt, mt, ddg in make_batches(splits["valid"], cfg.data.batch_size, False, 0)]
+        vlosses = [eval_loss(params, wt, mt, ddg, w)
+                   for wt, mt, ddg, w in eval_batches(splits["valid"])]
         train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
         val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
         best_val = min(best_val, val_loss)

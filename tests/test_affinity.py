@@ -138,3 +138,27 @@ def test_affinity_memorization_probe(brs):
 
     assert losses[0] > 1.0          # starts near the label variance
     assert min(losses) < 0.05       # memorizes the 4 labels
+
+
+def test_loss_esm_weighted_padding_exact():
+    """Zero-weight padded rows leave loss_esm exactly equal to the unpadded
+    batch mean (the sharded esm eval path pads ragged tails this way)."""
+    import jax
+    import jax.numpy as jnp
+
+    from packppi_tpu.models import NetworkConfig
+    from packppi_tpu.models.affinity import AffinityModel
+
+    model = AffinityModel.create(NetworkConfig(), mode="esm")
+    rng = np.random.default_rng(0)
+    wt = jnp.asarray(rng.normal(size=(3, 6, 1280)).astype(np.float32))
+    mt = jnp.asarray(rng.normal(size=(3, 6, 1280)).astype(np.float32))
+    ddg = jnp.asarray(rng.normal(size=3).astype(np.float32))
+    params = model.net.init(jax.random.key(0), None, None, wt, mt, None)
+
+    plain = float(model.loss_esm(params, wt, mt, ddg))
+    pad = lambda x: jnp.concatenate([x, x[-1:]], 0)
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    padded = float(model.loss_esm(params, pad(wt), pad(mt),
+                                  jnp.concatenate([ddg, jnp.zeros(1)]), w))
+    np.testing.assert_allclose(padded, plain, rtol=1e-5)
