@@ -105,9 +105,24 @@ def run(args) -> dict:
         params = model.init(k_init, batch)
 
     t0 = time.perf_counter()
-    sample_fn = jax.jit(lambda p, k, b: model.sample(
+    _sample = lambda p, k, b: model.sample(
         p, k, b, n_steps=args.n_steps,
-        corrector_steps=getattr(args, "corrector_steps", 0)))
+        corrector_steps=getattr(args, "corrector_steps", 0))
+    n_devices = getattr(args, "n_devices", None) or jax.device_count()
+    if n_devices > 1 and n_samples % n_devices == 0:
+        # best-of-N shards over the mesh: each chip samples N/n_devices
+        # conformations — multi-chip speedup for SINGLE-complex packing
+        from packppi_tpu.parallel import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(n_devices, model_parallel=1)
+        print(f"sharding {n_samples} samples over {n_devices} devices")
+        rep, rows = replicated(mesh), batch_sharding(mesh)
+        batch = jax.device_put(batch, jax.tree.map(lambda _: rows, batch))
+        params = jax.device_put(params, rep)
+        sample_fn = jax.jit(_sample, in_shardings=(rep, rep, rows),
+                            out_shardings=rows)
+    else:
+        sample_fn = jax.jit(_sample)
     coords_fn = jax.jit(lambda b, sc: atom14_coords_from_torsions(
         b.X, b.residue_type, b.BB_D, sc))
     key, k_sample = jax.random.split(key)
@@ -123,7 +138,8 @@ def run(args) -> dict:
         best = int(jax.numpy.argmin(per_sample))
         print(f"best-of-{n_samples}: clash sums {np.round(np.asarray(per_sample), 2)}"
               f" -> keeping sample {best}")
-        take = lambda x: x[best:best + 1]
+        # host round-trip: the winner row may live on any device of the mesh
+        take = lambda x: np.asarray(x)[best:best + 1]
         batch = jax.tree.map(take, batch)
         sc_sample = take(sc_sample)
 

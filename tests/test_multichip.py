@@ -162,3 +162,66 @@ def test_train_diffusion_meshed_end_to_end(tmp_path):
     steps_after_resume = max(int(p.name.split("_")[1]) for p in ckpts2)
     assert steps_after_resume > steps_after_first
     assert np.isfinite(result2["best_val_loss"])
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_single_pdb_best_of_n_sharded_matches_single_device(crop_dir, tmp_path):
+    """Single-PDB --n_samples 8 shards the sample rows over the mesh; the
+    kept structure matches the single-device run to float precision (same
+    key, same shapes -> same noise; partitioned executables may fuse
+    reductions differently, so ~1e-3 A coordinate drift is expected)."""
+    import argparse
+
+    from packppi_tpu.cli.pack import run
+    from packppi_tpu.structure import from_pdb_string
+
+    pdb = sorted(crop_dir.glob("*.pdb"))[0]
+
+    def go(outdir, n_devices):
+        args = argparse.Namespace(
+            input=str(pdb), outdir=str(outdir), ckpt=None, use_proximal=False,
+            seed=0, platform=None, n_steps=2, molprobity_loc=None,
+            exact_length=True, print_metrics=False, batch_size=1,
+            precision="float32", no_fused=True, n_samples=8,
+            n_devices=n_devices, corrector_steps=0)
+        run(args)
+        return (outdir / "structure.pdb").read_text()
+
+    multi = from_pdb_string(go(tmp_path / "m", 8))
+    single = from_pdb_string(go(tmp_path / "s", 1))
+    m = (multi.atom_mask > 0) & (single.atom_mask > 0)
+    np.testing.assert_array_equal(multi.atom_mask, single.atom_mask)
+    np.testing.assert_allclose(multi.atom_positions[m], single.atom_positions[m],
+                               atol=5e-3)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_proximal_sequence_parallel_matches_single_device():
+    """proximal_optimize under (data x seq) sharding returns the same
+    refined chis as single-device execution — the long-complex scaling
+    path for PackPPI-Prox."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from packppi_tpu.parallel import make_mesh, replicated, seq_batch_shardings
+    from packppi_tpu.sampling import proximal_optimize
+
+    batch = _synthetic_batch(B=2, L=64, seed=5)
+    rng = np.random.default_rng(3)
+    bad = jnp.asarray(np.asarray(batch.SC_D)
+                      + rng.normal(0, 0.7, batch.SC_D.shape).astype(np.float32)
+                      * np.asarray(batch.SC_D_mask))
+
+    single = proximal_optimize(batch, bad, num_steps=5)
+
+    mesh = make_mesh(8, model_parallel=4)   # data=2, seq over 'model'=4
+    sp = seq_batch_shardings(mesh, batch)
+    batch_s = jax.device_put(batch, sp)
+    bad_s = jax.device_put(bad, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", "model")))
+    res = jax.jit(lambda b, sc: proximal_optimize(b, sc, num_steps=5))(batch_s, bad_s)
+
+    np.testing.assert_allclose(np.asarray(res.SC_D), np.asarray(single.SC_D),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res.losses), np.asarray(single.losses),
+                               rtol=2e-5)
