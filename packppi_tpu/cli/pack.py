@@ -108,7 +108,8 @@ def run(args) -> dict:
     _sample = lambda p, k, b: model.sample(
         p, k, b, n_steps=args.n_steps,
         corrector_steps=getattr(args, "corrector_steps", 0))
-    n_devices = getattr(args, "n_devices", None) or jax.device_count()
+    n_devices = min(getattr(args, "n_devices", None) or jax.device_count(),
+                    jax.device_count())
     if n_devices > 1 and n_samples % n_devices == 0:
         # best-of-N shards over the mesh: each chip samples N/n_devices
         # conformations — multi-chip speedup for SINGLE-complex packing
@@ -218,6 +219,10 @@ def run_directory(args) -> list:
 
     n_samples = max(1, getattr(args, "n_samples", 1))
     n_devices = getattr(args, "n_devices", None) or jax.device_count()
+    if n_devices > jax.device_count():
+        print(f"WARNING: --n_devices {n_devices} > available "
+              f"{jax.device_count()}; clamping")
+        n_devices = jax.device_count()
     # fixed row budget per executable: batch_size rows per device
     budget = max(args.batch_size, 1) * n_devices
     per_chunk = max(1, budget // n_samples)                      # complexes/step

@@ -70,12 +70,21 @@ class Group:
     exclude_flat: set           # static heavy atoms this group never scores
 
 
+HBOND_OVERLAP_CAP = 0.8  # must match utils.metrics.probe_clashscore's waiver
+
+
 def _probe_cost(a: Probes, b: Probes) -> float:
-    """Summed steric cost between two probe sets with H-bond exemption."""
+    """Summed steric cost between two probe sets with H-bond exemption.
+
+    The exemption is capped exactly like the final clashscore's waiver
+    (polar-H/acceptor overlap counts again beyond ``HBOND_OVERLAP_CAP``) —
+    an uncapped exemption here would let the optimizer prefer states the
+    metric then scores as clashes."""
     d = np.linalg.norm(a.pos[:, None] - b.pos[None], axis=-1)
     overlap = np.clip((a.radius[:, None] + b.radius[None]) - d, 0.0, None)
-    exempt = (a.polar_h[:, None] & b.acceptor[None]) | \
-             (b.polar_h[None] & a.acceptor[:, None])
+    exempt = ((a.polar_h[:, None] & b.acceptor[None]) |
+              (b.polar_h[None] & a.acceptor[:, None])) & \
+             (overlap < HBOND_OVERLAP_CAP)
     overlap = np.where(exempt, 0.0, overlap)
     return float(1000.0 * (overlap >= SERIOUS).sum() + overlap.sum())
 
@@ -90,6 +99,14 @@ def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
     resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
                 for i in prot.aaindex]
     _, _, _, flat_index, sep = graph
+
+    # parent -> heavy atoms within 2 bonds, built ONCE (a per-rotor scan of
+    # the full sep table would be O(n_rotors * |sep|) host time)
+    within2: dict[int, list[int]] = {}
+    for (a, b), d in sep.items():
+        if d <= 2:
+            within2.setdefault(a, []).append(b)
+            within2.setdefault(b, []).append(a)
 
     groups: list[Group] = []
     for i in range(L):
@@ -157,10 +174,7 @@ def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
                              acceptor=np.zeros(n_h, bool))
                       for p in range(len(phases))]
             # heavy atoms <= 2 bonds from the parent never score (H is <= 3)
-            excl = {parent_flat}
-            for (a, b), d in sep.items():
-                if d <= 2 and (a == parent_flat or b == parent_flat):
-                    excl.add(b if a == parent_flat else a)
+            excl = {parent_flat, *within2.get(parent_flat, ())}
             groups.append(Group("rotor", i, states,
                                 ((i, slot[heavy]), phases), excl))
     return groups
@@ -281,7 +295,13 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
                 c += tab[assign[a], assign[b]]
             return c
 
-        n_states = int(np.prod([len(groups[g].states) for g in comp]))
+        # capped product: np.prod wraps int64 for ~19+ twelve-state groups,
+        # which could misroute a huge component into exact enumeration
+        n_states = 1
+        for g in comp:
+            n_states *= len(groups[g].states)
+            if n_states > max_enum:
+                break
         if n_states <= max_enum:
             best, best_cost = None, np.inf
             for combo in itertools.product(*[range(len(groups[g].states))

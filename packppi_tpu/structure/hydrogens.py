@@ -258,6 +258,29 @@ FLIP_GROUPS = {
 }
 
 
+def encode_bond_sep(sep: dict, n: int):
+    """Bond-separation table as sorted encoded keys (``lo * n + hi``) plus
+    values, for vectorized ``lookup_bond_sep`` queries."""
+    if not sep:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    keys = np.fromiter((a * n + b for (a, b) in sep), np.int64, len(sep))
+    vals = np.fromiter(sep.values(), np.int64, len(sep))
+    order = np.argsort(keys)
+    return keys[order], vals[order]
+
+
+def lookup_bond_sep(enc_keys, enc_vals, lo, hi, n, default: int = 4):
+    """Vectorized bond-path distances for (lo, hi) pairs (lo <= hi); pairs
+    absent from the <=3-bond table get ``default`` ('far')."""
+    out = np.full(len(lo), default, np.int64)
+    if len(enc_keys):
+        enc = np.asarray(lo, np.int64) * n + np.asarray(hi, np.int64)
+        pos = np.clip(np.searchsorted(enc_keys, enc), 0, len(enc_keys) - 1)
+        hit = enc_keys[pos] == enc
+        out[hit] = enc_vals[pos[hit]]
+    return out
+
+
 def flip_group_hydrogens(rn, pos_of):
     """A flip group's own hydrogens for a candidate orientation, as
     (position, polar) pairs (Reduce scores flips WITH hydrogens; a
@@ -541,15 +564,7 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
     rotor_x = np.asarray([r[2] for r in rotors], np.float64).reshape(-1, 3)
     neighborhoods = tree.query_ball_point(rotor_x, cutoff)
 
-    # bond-separation table as sorted encoded keys for vectorized lookups
-    if sep:
-        sep_keys = np.array([k0 * n_heavy + k1 for (k0, k1) in sep], np.int64)
-        sep_vals = np.array(list(sep.values()), np.int64)
-        order = np.argsort(sep_keys)
-        sep_keys, sep_vals = sep_keys[order], sep_vals[order]
-    else:
-        sep_keys = np.empty(0, np.int64)
-        sep_vals = np.empty(0, np.int64)
+    sep_keys, sep_vals = encode_bond_sep(sep, n_heavy)
 
     for (first, n_h, x, parent_xyz, dref, blen, symmetric), cand in zip(rotors, neighborhoods):
         i = pres[first]
@@ -562,14 +577,9 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
 
         # drop heavy atoms bonded within 2 of the parent (H adds one bond)
         cand = np.asarray(cand, np.int64)
-        lo = np.minimum(cand, parent_flat)
-        hi = np.maximum(cand, parent_flat)
-        enc = lo * n_heavy + hi
-        bsep = np.full(len(cand), 4, np.int64)
-        if len(sep_keys):
-            p_ = np.clip(np.searchsorted(sep_keys, enc), 0, len(sep_keys) - 1)
-            hit = sep_keys[p_] == enc
-            bsep[hit] = sep_vals[p_[hit]]
+        bsep = lookup_bond_sep(sep_keys, sep_vals,
+                               np.minimum(cand, parent_flat),
+                               np.maximum(cand, parent_flat), n_heavy)
         mask = (cand != parent_flat) & (bsep > 2)
         if is_polar:
             mask &= ~acceptor[cand]

@@ -83,7 +83,11 @@ def make_lr(trainer_cfg, steps_per_epoch: int):
         return lr
     if schedule == "cosine":
         warmup = int(trainer_cfg.get("warmup_steps", 0))
-        total = max(trainer_cfg.max_epochs * max(steps_per_epoch, 1), warmup + 1)
+        # optax.MultiSteps advances the inner schedule once per ACCUMULATED
+        # update, so the horizon counts optimizer steps, not micro-batches
+        accum = max(1, int(trainer_cfg.get("grad_accum_steps", 1)))
+        total = max(trainer_cfg.max_epochs * max(steps_per_epoch // accum, 1),
+                    warmup + 1)
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=lr, warmup_steps=warmup,
             decay_steps=total, end_value=lr * 0.1)
@@ -224,9 +228,11 @@ def train_diffusion(cfg) -> dict:
                     metrics_log.log(int(state.step), m, prefix="val/")
 
         log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
-        # checkpoint on validated epochs (metric-bearing) and at the end —
-        # per-epoch saves on long small-corpus runs are pure host overhead
-        if np.isfinite(val_loss) or epoch == cfg.trainer.max_epochs - 1 or not len(ds["val"]):
+        # checkpoint on the validation cadence and at the end — per-epoch
+        # saves on long small-corpus runs are pure host overhead. Cadence,
+        # not finiteness: an empty/NaN val epoch must still save, or a run
+        # whose val loader yields nothing would never checkpoint.
+        if (epoch + 1) % cfg.trainer.val_every_epochs == 0 or epoch == cfg.trainer.max_epochs - 1:
             ckpt_mgr.save(int(state.step), state, metric=val_loss if np.isfinite(val_loss) else None)
 
     # final held-out evaluation with the best checkpoint (reference:

@@ -159,22 +159,13 @@ def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP,
     sel = gap <= -overlap
     a, b, gap = a[sel], b[sel], gap[sel]
 
-    # bond-path distance via the heavy-bond table (encoded-key searchsorted;
-    # pairs absent from the <=3-bond table are 'far')
+    # bond-path distance via the heavy-bond table (shared vectorized lookup)
+    from packppi_tpu.structure.hydrogens import encode_bond_sep, lookup_bond_sep
+
     pa, pb = parent[a], parent[b]
-    lo = np.minimum(pa, pb).astype(np.int64)
-    hi = np.maximum(pa, pb).astype(np.int64)
-    base = np.full(len(a), 4, np.int64)
-    if heavy_dist:
-        enc_keys = np.array([k0 * n_heavy + k1 for (k0, k1) in heavy_dist], np.int64)
-        enc_vals = np.array(list(heavy_dist.values()), np.int64)
-        order = np.argsort(enc_keys)
-        enc_keys, enc_vals = enc_keys[order], enc_vals[order]
-        enc = lo * n_heavy + hi
-        pos = np.searchsorted(enc_keys, enc)
-        pos = np.clip(pos, 0, len(enc_keys) - 1)
-        hit = enc_keys[pos] == enc
-        base[hit] = enc_vals[pos[hit]]
+    enc_keys, enc_vals = encode_bond_sep(heavy_dist, n_heavy)
+    base = lookup_bond_sep(enc_keys, enc_vals, np.minimum(pa, pb),
+                           np.maximum(pa, pb), n_heavy)
     base[pa == pb] = 0
     bond_sep = base + is_h[a].astype(np.int64) + is_h[b].astype(np.int64)
 

@@ -51,7 +51,7 @@ def window_crops(prot: Protein, size: int, stride: int):
     chains = prot.chain_id
     for cid in dict.fromkeys(chains):  # first-appearance order
         idx = np.nonzero(chains == cid)[0]
-        if len(idx) <= size:
+        if len(idx) < size:
             continue
         for s in range(0, len(idx) - size + 1, stride):
             yield f"{cid}{idx[s]}", idx[s:s + size]
