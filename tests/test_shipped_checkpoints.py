@@ -64,3 +64,24 @@ def test_diffusion_crops_checkpoint_rejects_wrong_config():
     template = jax.eval_shape(lambda: model.init(jax.random.key(0), batch))
     with pytest.raises(ValueError, match="does not match"):
         load_model_params(DIFFUSION_CKPT, template)
+
+
+AFFINITY_DIR = os.path.join(REPO, "docs", "ckpts", "affinity_skempi_mini_pretrained")
+
+
+@pytest.mark.skipif(not os.path.isdir(AFFINITY_DIR), reason="checkpoint absent")
+def test_pretrained_affinity_checkpoint_predicts():
+    """The shipped pretrained-backbone affinity artifact runs the ddg CLI
+    end-to-end and reproduces a finite prediction."""
+    import argparse
+
+    from packppi_tpu.cli.ddg import run
+
+    args = argparse.Namespace(
+        input=os.path.join(FIXTURES, "2ftl.pdb"), mutstr="KI15G",
+        ckpt=os.path.join(AFFINITY_DIR, "affinity"),
+        pre_ckpt=os.path.join(AFFINITY_DIR, "backbone"),
+        outdir="/tmp/ddg_shipped", platform=None, seed=0, mode="network",
+        batch_size=1, eval_csv=None, esm_dir=None)
+    ddg = run(args)
+    assert np.isfinite(ddg)
