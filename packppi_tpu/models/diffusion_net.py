@@ -35,6 +35,8 @@ class NetworkConfig:
     top_k: int = 32
     compute_dtype: str = "float32"  # "bfloat16" for the fast inference path
     fused_messages: bool = False    # Pallas fused message kernel (inference)
+    fused_layers: bool = False      # step-fused Pallas IPMP layer (inference;
+                                    # supersedes fused_messages when set)
     # storage dtype of the sampler's cached static edge embeddings
     # ("float32" | "bfloat16" | "int8"); int8 = per-channel symmetric
     # quantization, dequantized on read each denoising step
@@ -124,7 +126,8 @@ class ChiScoreNetwork(nn.Module):
             h_E.astype(dtype) if dtype else h_E,
             idx, batch.X, batch.residue_mask, deterministic,
             fused=c.fused_messages and deterministic,
-            skip_last_edge_update=skip_last_edge_update and deterministic)
+            skip_last_edge_update=skip_last_edge_update and deterministic,
+            fused_layer=c.fused_layers and deterministic)
 
         score = self.dec1(h_V)
         score = nn.relu(score)

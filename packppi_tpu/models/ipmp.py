@@ -22,6 +22,70 @@ def _norm(v, eps=1e-8):
     return jnp.sqrt(jnp.sum(v * v, -1) + eps)
 
 
+def geometry_features(p_local: jnp.ndarray, idx: jnp.ndarray, frames) -> jnp.ndarray:
+    """[B, L, K, 9*P] frame-invariant point features (pure function).
+
+    Given per-node predicted points ``p_local`` [B, L, P, 3] in each node's
+    backbone frame, produces node i's local points + norms, node j's points
+    expressed in i's frame + norms, and global point-pair distances.
+
+    Computed in structure-of-arrays form: every per-edge elementwise op runs
+    on [B, L, K, P] component planes instead of [..., P, 3] tensors — a
+    trailing dimension of 3 occupies 3 of the VPU's 128 lanes, and the AoS
+    version measured 55% of the whole sampling eval. Identical math
+    (exactness locked by the converted-weight goldens and
+    tests/test_model.py::test_geometry_features_soa_matches_aos).
+
+    Shared by the unfused flax path (InvariantPointLayer) and the
+    step-fused Pallas layer path (ops.pallas_layer).
+    """
+    B, L = idx.shape[:2]
+    P = p_local.shape[-2]
+    plx, ply, plz = (p_local[..., c] for c in range(3))         # [B,L,P]
+    R, t = frames.rot, frames.trans                             # [B,L,3,3],[B,L,3]
+
+    def rot_row(r0, r1, r2, x, y, z):
+        return r0 * x + r1 * y + r2 * z
+
+    # global = R @ p_local + t, per component
+    e = lambda a: a[..., None]                                  # [B,L,1]
+    pgx = rot_row(e(R[..., 0, 0]), e(R[..., 0, 1]), e(R[..., 0, 2]), plx, ply, plz) + e(t[..., 0])
+    pgy = rot_row(e(R[..., 1, 0]), e(R[..., 1, 1]), e(R[..., 1, 2]), plx, ply, plz) + e(t[..., 1])
+    pgz = rot_row(e(R[..., 2, 0]), e(R[..., 2, 1]), e(R[..., 2, 2]), plx, ply, plz) + e(t[..., 2])
+
+    # ONE gather of the stacked components: [B,L,3P] -> [B,L,K,3P]
+    nbr = gather_nodes(jnp.concatenate([pgx, pgy, pgz], -1), idx)
+    ngx, ngy, ngz = nbr[..., :P], nbr[..., P:2 * P], nbr[..., 2 * P:]
+
+    # neighbor points in i's frame: R_i^T (p_global[j] - t_i)
+    ee = lambda a: a[..., None, None]                           # [B,L,1,1]
+    dx = ngx - ee(t[..., 0])
+    dy = ngy - ee(t[..., 1])
+    dz = ngz - ee(t[..., 2])
+    nlx = rot_row(ee(R[..., 0, 0]), ee(R[..., 1, 0]), ee(R[..., 2, 0]), dx, dy, dz)
+    nly = rot_row(ee(R[..., 0, 1]), ee(R[..., 1, 1]), ee(R[..., 2, 1]), dx, dy, dz)
+    nlz = rot_row(ee(R[..., 0, 2]), ee(R[..., 1, 2]), ee(R[..., 2, 2]), dx, dy, dz)
+
+    eps = 1e-8
+    norm_pl = jnp.sqrt(plx * plx + ply * ply + plz * plz + eps)          # [B,L,P]
+    norm_nl = jnp.sqrt(nlx * nlx + nly * nly + nlz * nlz + eps)          # [B,L,K,P]
+    ddx = pgx[:, :, None] - ngx
+    ddy = pgy[:, :, None] - ngy
+    ddz = pgz[:, :, None] - ngz
+    norm_pair = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + eps)        # [B,L,K,P]
+
+    K = idx.shape[2]
+    flat_pl = jnp.broadcast_to(p_local.reshape(B, L, 1, P * 3), (B, L, K, P * 3))
+    flat_nl = jnp.stack([nlx, nly, nlz], -1).reshape(B, L, K, P * 3)
+    return jnp.concatenate([
+        flat_pl,                                               # i's points (local)
+        jnp.broadcast_to(norm_pl[:, :, None], (B, L, K, P)),   # |p_local|
+        flat_nl,                                               # j's points in i's frame
+        norm_nl,
+        norm_pair,                                             # global pair distances
+    ], -1)
+
+
 class _DenseParams(nn.Module):
     """Parameter holder with nn.Dense-compatible leaves (kernel [in, out],
     optional bias) — lets both the jnp path and the fused Pallas kernel use
@@ -125,69 +189,33 @@ class InvariantPointLayer(nn.Module):
     edge_dim: int = 128
 
     def _geometry_features(self, h_V, idx, frames, points_fn):
-        """[B, L, K, 9*n_points] frame-invariant point features: node i's
-        local points + norms, node j's points in i's frame + norms, global
-        point-pair distances.
-
-        Computed in structure-of-arrays form: every per-edge elementwise op
-        runs on [B, L, K, P] component planes instead of [..., P, 3]
-        tensors — a trailing dimension of 3 occupies 3 of the VPU's 128
-        lanes, and the AoS version measured 55% of the whole sampling eval.
-        Identical math (exactness locked by the converted-weight goldens
-        and tests/test_model.py::test_geometry_features_soa_matches_aos).
-        """
+        """[B, L, K, 9*n_points] frame-invariant point features — see the
+        module-level ``geometry_features`` for the math + layout notes."""
         B, L = idx.shape[:2]
-        P = self.n_points
-        p_local = points_fn(h_V).reshape(B, L, P, 3)                # [B,L,P,3]
-        plx, ply, plz = (p_local[..., c] for c in range(3))         # [B,L,P]
-        R, t = frames.rot, frames.trans                             # [B,L,3,3],[B,L,3]
-
-        def rot_row(r0, r1, r2, x, y, z):
-            return r0 * x + r1 * y + r2 * z
-
-        # global = R @ p_local + t, per component
-        e = lambda a: a[..., None]                                  # [B,L,1]
-        pgx = rot_row(e(R[..., 0, 0]), e(R[..., 0, 1]), e(R[..., 0, 2]), plx, ply, plz) + e(t[..., 0])
-        pgy = rot_row(e(R[..., 1, 0]), e(R[..., 1, 1]), e(R[..., 1, 2]), plx, ply, plz) + e(t[..., 1])
-        pgz = rot_row(e(R[..., 2, 0]), e(R[..., 2, 1]), e(R[..., 2, 2]), plx, ply, plz) + e(t[..., 2])
-
-        # ONE gather of the stacked components: [B,L,3P] -> [B,L,K,3P]
-        nbr = gather_nodes(jnp.concatenate([pgx, pgy, pgz], -1), idx)
-        ngx, ngy, ngz = nbr[..., :P], nbr[..., P:2 * P], nbr[..., 2 * P:]
-
-        # neighbor points in i's frame: R_i^T (p_global[j] - t_i)
-        ee = lambda a: a[..., None, None]                           # [B,L,1,1]
-        dx = ngx - ee(t[..., 0])
-        dy = ngy - ee(t[..., 1])
-        dz = ngz - ee(t[..., 2])
-        nlx = rot_row(ee(R[..., 0, 0]), ee(R[..., 1, 0]), ee(R[..., 2, 0]), dx, dy, dz)
-        nly = rot_row(ee(R[..., 0, 1]), ee(R[..., 1, 1]), ee(R[..., 2, 1]), dx, dy, dz)
-        nlz = rot_row(ee(R[..., 0, 2]), ee(R[..., 1, 2]), ee(R[..., 2, 2]), dx, dy, dz)
-
-        eps = 1e-8
-        norm_pl = jnp.sqrt(plx * plx + ply * ply + plz * plz + eps)          # [B,L,P]
-        norm_nl = jnp.sqrt(nlx * nlx + nly * nly + nlz * nlz + eps)          # [B,L,K,P]
-        ddx = pgx[:, :, None] - ngx
-        ddy = pgy[:, :, None] - ngy
-        ddz = pgz[:, :, None] - ngz
-        norm_pair = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + eps)        # [B,L,K,P]
-
-        K = idx.shape[2]
-        flat_pl = jnp.broadcast_to(p_local.reshape(B, L, 1, P * 3), (B, L, K, P * 3))
-        flat_nl = jnp.stack([nlx, nly, nlz], -1).reshape(B, L, K, P * 3)
-        return jnp.concatenate([
-            flat_pl,                                               # i's points (local)
-            jnp.broadcast_to(norm_pl[:, :, None], (B, L, K, P)),   # |p_local|
-            flat_nl,                                               # j's points in i's frame
-            norm_nl,
-            norm_pair,                                             # global pair distances
-        ], -1)
+        p_local = points_fn(h_V).reshape(B, L, self.n_points, 3)
+        return geometry_features(p_local, idx, frames)
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask_V=None, mask_attend=None,
                  deterministic: bool = True, fused: bool = False,
-                 do_edge_update: bool = True):
+                 do_edge_update: bool = True, fused_layer: bool = False):
         frames = scale_translation(bb_frames_from_atom14(X), 1.0 / self.position_scale)
+
+        if fused_layer and not self.is_initializing():
+            # step-fused Pallas path: the whole layer (message chains, LNs,
+            # FFNs) runs in VMEM; raw params are read from this module's
+            # subtree (identical tree to the unfused path, so checkpoints
+            # interop). Inference-only (dropout must be deterministic).
+            from packppi_tpu.ops.pallas_layer import fused_ipmp_layer
+
+            mv = mask_V if mask_V is not None else jnp.ones(h_V.shape[:2], jnp.float32)
+            ma = (mask_attend if mask_attend is not None
+                  else jnp.ones(idx.shape, jnp.float32))
+            return fused_ipmp_layer(
+                self.variables["params"], h_V, h_E, idx, frames, mv, ma,
+                n_points=self.n_points, act=self.act, compute_dtype=self.dtype,
+                do_edge_update=self.edge_update and do_edge_update)
+
         kw = dict(edge_dim=self.edge_dim, geom_dim=9 * self.n_points,
                   act=self.act, dtype=self.dtype)
 
@@ -271,7 +299,8 @@ class MessagePassingStack(nn.Module):
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask, deterministic: bool = True,
-                 fused: bool = False, skip_last_edge_update: bool = False):
+                 fused: bool = False, skip_last_edge_update: bool = False,
+                 fused_layer: bool = False):
         mask_attend = gather_nodes(mask[..., None], idx).squeeze(-1)
         mask_attend = mask[..., None] * mask_attend
 
@@ -287,7 +316,8 @@ class MessagePassingStack(nn.Module):
                     edge_update=True, position_scale=self.position_scale,
                     dtype=self.dtype, edge_dim=self.edge_dim,
                 )(h_V, h_E, idx, X, mask, mask_attend, deterministic, fused,
-                  do_edge_update=not (last and skip_last_edge_update))
+                  do_edge_update=not (last and skip_last_edge_update),
+                  fused_layer=fused_layer)
             else:
                 h_V, h_E = VanillaMPNNLayer(
                     self.hidden_dim, self.dropout, self.act,

@@ -138,6 +138,54 @@ def test_fused_messages_match_unfused(small_batch):
     np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=2e-5)
 
 
+def test_fused_layers_match_unfused(small_batch):
+    """The step-fused Pallas layer path (two VMEM-resident passes per IPMP
+    layer, interpret mode on CPU) must match the unfused jnp path through
+    the full network in f32."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    import packppi_tpu.ops.pallas_layer as pallas_layer
+
+    model_f = TorsionalDiffusion.create(NC(fused_layers=True), SampleConfig())
+    model_u = TorsionalDiffusion.create(NC(), SampleConfig())
+    params = model_u.init(jax.random.key(0), small_batch)
+    t = jnp.full(small_batch.residue_mask.shape, 0.3)
+
+    s_u, h_u = model_u.apply(params, small_batch, small_batch.SC_D, t)
+
+    prev, pallas_layer.INTERPRET = pallas_layer.INTERPRET, True
+    try:
+        s_f, h_f = model_f.apply(params, small_batch, small_batch.SC_D, t)
+    finally:
+        pallas_layer.INTERPRET = prev
+
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_u), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=3e-5)
+
+
+def test_fused_layers_skip_last_edge_update(small_batch):
+    """fused_layers with skip_last_edge_update (the sampler's inference
+    configuration) still matches the unfused forward."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    import packppi_tpu.ops.pallas_layer as pallas_layer
+
+    model_f = TorsionalDiffusion.create(NC(fused_layers=True), SampleConfig())
+    model_u = TorsionalDiffusion.create(NC(), SampleConfig())
+    params = model_u.init(jax.random.key(0), small_batch)
+    t = jnp.full(small_batch.residue_mask.shape, 0.3)
+
+    s_u, h_u = model_u.apply(params, small_batch, small_batch.SC_D, t)
+
+    prev, pallas_layer.INTERPRET = pallas_layer.INTERPRET, True
+    try:
+        s_f, h_f = model_f.apply(params, small_batch, small_batch.SC_D, t,
+                                 skip_last_edge_update=True)
+    finally:
+        pallas_layer.INTERPRET = prev
+
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_u), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=3e-5)
+
+
 def test_skip_last_edge_update_is_exact(model, params, small_batch):
     """Skipping the final layer's (unconsumed) edge update must not change
     the network outputs."""
