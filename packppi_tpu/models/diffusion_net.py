@@ -89,7 +89,11 @@ class ChiScoreNetwork(nn.Module):
             scale = jnp.max(jnp.abs(h_E), axis=(0, 1, 2), keepdims=True) / 127.0
             scale = jnp.maximum(scale, 1e-8)
             h_E = (jnp.round(h_E / scale).astype(jnp.int8), scale)
-        return h_E, idx
+        # the attention mask's gather is static too; recomputing it inside
+        # the sampling scan measured 130 us/step (XLA does not hoist the
+        # gather out of the while loop)
+        mask_attend = MessagePassingStack.attend_mask(batch.residue_mask, idx)
+        return h_E, idx, mask_attend
 
     @staticmethod
     def _dequant_static(h_E, dtype):
@@ -114,7 +118,9 @@ class ChiScoreNetwork(nn.Module):
         sc_sincos = jnp.stack([jnp.sin(SC_D_noised), jnp.cos(SC_D_noised)], -1)
         sc_sincos = sc_sincos * batch.SC_D_mask[..., None]
 
+        mask_attend = None
         if static is not None:
+            mask_attend = static[2] if len(static) > 2 else None
             static = (self._dequant_static(static[0], dtype), static[1])
         h_V, h_E, idx = self.encoder(
             batch.X, batch.residue_type, batch.BB_D_sincos, sc_sincos,
@@ -127,7 +133,8 @@ class ChiScoreNetwork(nn.Module):
             idx, batch.X, batch.residue_mask, deterministic,
             fused=c.fused_messages and deterministic,
             skip_last_edge_update=skip_last_edge_update and deterministic,
-            fused_layer=c.fused_layers and deterministic)
+            fused_layer=c.fused_layers and deterministic,
+            mask_attend=mask_attend)
 
         score = self.dec1(h_V)
         score = nn.relu(score)

@@ -15,47 +15,46 @@ import jax.numpy as jnp
 
 from packppi_tpu.geometry.rigid import bb_frames_from_atom14, scale_translation
 from packppi_tpu.models.layers import MLP
-from packppi_tpu.ops.graph import gather_nodes
+from packppi_tpu.ops.graph import gather_nodes, gather_nodes_onehot
 
 
 def _norm(v, eps=1e-8):
     return jnp.sqrt(jnp.sum(v * v, -1) + eps)
 
 
-def geometry_features(p_local: jnp.ndarray, idx: jnp.ndarray, frames) -> jnp.ndarray:
-    """[B, L, K, 9*P] frame-invariant point features (pure function).
-
-    Given per-node predicted points ``p_local`` [B, L, P, 3] in each node's
-    backbone frame, produces node i's local points + norms, node j's points
-    expressed in i's frame + norms, and global point-pair distances.
-
-    Computed in structure-of-arrays form: every per-edge elementwise op runs
-    on [B, L, K, P] component planes instead of [..., P, 3] tensors — a
-    trailing dimension of 3 occupies 3 of the VPU's 128 lanes, and the AoS
-    version measured 55% of the whole sampling eval. Identical math
-    (exactness locked by the converted-weight goldens and
-    tests/test_model.py::test_geometry_features_soa_matches_aos).
-
-    Shared by the unfused flax path (InvariantPointLayer) and the
-    step-fused Pallas layer path (ops.pallas_layer).
-    """
-    B, L = idx.shape[:2]
-    P = p_local.shape[-2]
+def geometry_global_points(p_local: jnp.ndarray, frames) -> jnp.ndarray:
+    """[B, L, 3P] plane-stacked global points ``[pgx | pgy | pgz]`` where
+    ``pg = R @ p_local + t`` (the pre-gather half of ``geometry_features``;
+    split out so the fused message path can gather these planes together
+    with the per-node message terms in ONE gather per pass)."""
     plx, ply, plz = (p_local[..., c] for c in range(3))         # [B,L,P]
     R, t = frames.rot, frames.trans                             # [B,L,3,3],[B,L,3]
 
     def rot_row(r0, r1, r2, x, y, z):
         return r0 * x + r1 * y + r2 * z
 
-    # global = R @ p_local + t, per component
     e = lambda a: a[..., None]                                  # [B,L,1]
     pgx = rot_row(e(R[..., 0, 0]), e(R[..., 0, 1]), e(R[..., 0, 2]), plx, ply, plz) + e(t[..., 0])
     pgy = rot_row(e(R[..., 1, 0]), e(R[..., 1, 1]), e(R[..., 1, 2]), plx, ply, plz) + e(t[..., 1])
     pgz = rot_row(e(R[..., 2, 0]), e(R[..., 2, 1]), e(R[..., 2, 2]), plx, ply, plz) + e(t[..., 2])
+    return jnp.concatenate([pgx, pgy, pgz], -1)
 
-    # ONE gather of the stacked components: [B,L,3P] -> [B,L,K,3P]
-    nbr = gather_nodes(jnp.concatenate([pgx, pgy, pgz], -1), idx)
+
+def geometry_edge_features(p_local: jnp.ndarray, nbr: jnp.ndarray,
+                           frames) -> jnp.ndarray:
+    """Post-gather half of ``geometry_features``: ``nbr`` [B, L, K, 3P] are
+    the gathered neighbor global-point planes (``geometry_global_points``
+    rows at the edge's j)."""
+    B, L, P = p_local.shape[:3]
+    K = nbr.shape[2]
+    plx, ply, plz = (p_local[..., c] for c in range(3))         # [B,L,P]
+    R, t = frames.rot, frames.trans                             # [B,L,3,3],[B,L,3]
+    pg = geometry_global_points(p_local, frames)
+    pgx, pgy, pgz = pg[..., :P], pg[..., P:2 * P], pg[..., 2 * P:]
     ngx, ngy, ngz = nbr[..., :P], nbr[..., P:2 * P], nbr[..., 2 * P:]
+
+    def rot_row(r0, r1, r2, x, y, z):
+        return r0 * x + r1 * y + r2 * z
 
     # neighbor points in i's frame: R_i^T (p_global[j] - t_i)
     ee = lambda a: a[..., None, None]                           # [B,L,1,1]
@@ -74,7 +73,6 @@ def geometry_features(p_local: jnp.ndarray, idx: jnp.ndarray, frames) -> jnp.nda
     ddz = pgz[:, :, None] - ngz
     norm_pair = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + eps)        # [B,L,K,P]
 
-    K = idx.shape[2]
     flat_pl = jnp.broadcast_to(p_local.reshape(B, L, 1, P * 3), (B, L, K, P * 3))
     flat_nl = jnp.stack([nlx, nly, nlz], -1).reshape(B, L, K, P * 3)
     return jnp.concatenate([
@@ -84,6 +82,29 @@ def geometry_features(p_local: jnp.ndarray, idx: jnp.ndarray, frames) -> jnp.nda
         norm_nl,
         norm_pair,                                             # global pair distances
     ], -1)
+
+
+def geometry_features(p_local: jnp.ndarray, idx: jnp.ndarray, frames) -> jnp.ndarray:
+    """[B, L, K, 9*P] frame-invariant point features (pure function).
+
+    Given per-node predicted points ``p_local`` [B, L, P, 3] in each node's
+    backbone frame, produces node i's local points + norms, node j's points
+    expressed in i's frame + norms, and global point-pair distances.
+
+    Computed in structure-of-arrays form: every per-edge elementwise op runs
+    on [B, L, K, P] component planes instead of [..., P, 3] tensors — a
+    trailing dimension of 3 occupies 3 of the VPU's 128 lanes, and the AoS
+    version measured 55% of the whole sampling eval. Identical math
+    (exactness locked by the converted-weight goldens and
+    tests/test_model.py::test_geometry_features_soa_matches_aos).
+
+    Split as gather(geometry_global_points) -> geometry_edge_features so the
+    fused message path can fold the gather into its combined per-pass
+    gather. Shared by the unfused flax path (InvariantPointLayer) and the
+    step-fused Pallas layer path (ops.pallas_layer).
+    """
+    nbr = gather_nodes(geometry_global_points(p_local, frames), idx)
+    return geometry_edge_features(p_local, nbr, frames)
 
 
 class _DenseParams(nn.Module):
@@ -148,7 +169,14 @@ class FactoredMessageMLP(nn.Module):
             from packppi_tpu.ops.pallas_ipmp import fused_message
 
             He = self.edge_dim
-            pjg = gather_nodes(per_j, idx)
+            w_g = self.Dense_e.kernel[He:]
+            # gather the j-term in the stream dtype: halves the gather's
+            # HBM traffic and the kernel's input read on the bf16 path
+            # (f32 path: no-op cast). NOTE a one-hot-contraction gather
+            # measured 2x faster standalone but 1.2x SLOWER in the full
+            # graph (XLA schedules it differently in context) — keep the
+            # plain gather here.
+            pjg = gather_nodes(per_j.astype(h_E.dtype), idx)
             mask = (mask_attend if mask_attend is not None
                     else jnp.ones(idx.shape, jnp.float32))
             cd = self.dtype or jnp.float32
@@ -156,7 +184,7 @@ class FactoredMessageMLP(nn.Module):
             def one(pi, pj, he, gm, mk):
                 return fused_message(
                     pi, pj, he, gm, mk,
-                    self.Dense_e.kernel[:He], self.Dense_e.kernel[He:],
+                    self.Dense_e.kernel[:He], w_g,
                     self.Dense_e.bias,
                     self.Dense_1.kernel, self.Dense_1.bias,
                     self.Dense_2.kernel, self.Dense_2.bias,
@@ -224,23 +252,42 @@ class InvariantPointLayer(nn.Module):
         msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)(
             h_V, h_E, idx, geom, mask_attend, pool=True, fused=fused)
 
+        # LayerNorm promotes bf16 inputs to f32 (f32 scale/bias params), so
+        # without the .astype(sd) casts the "bf16" streams silently flow f32
+        # between layers — double the HBM traffic on every downstream gather,
+        # matmul and mask multiply. Values are unchanged vs casting at the
+        # next consumer; the f32 path is a no-op.
+        sd = h_V.dtype
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        h_V = nn.LayerNorm()(h_V + drop(msg.astype(h_V.dtype)))
-        h_V = nn.LayerNorm()(h_V + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype, name="MLP_1")(h_V).astype(h_V.dtype)))
+        h_V = nn.LayerNorm()(h_V + drop(msg.astype(sd))).astype(sd)
+        h_V = nn.LayerNorm()(h_V + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype, name="MLP_1")(h_V).astype(sd))).astype(sd)
         if mask_V is not None:
-            h_V = h_V * mask_V[..., None]
+            # mask in the stream dtype: a f32 mask would likewise promote
+            # the stream (0/1 masks are exact in bf16)
+            h_V = h_V * mask_V[..., None].astype(sd)
 
         if self.edge_update and do_edge_update:
             points_edge = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
             geom = self._geometry_features(h_V, idx, frames, points_edge)
             e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)(
                 h_V, h_E, idx, geom, mask_attend, pool=False, fused=fused)
+            # run the residual/LN/FFN chain on a flat [B, L*K, He] stream:
+            # 4-D [B, L, K, He] dots push XLA:TPU into a convolution-style
+            # emitter with layout-change copies around every FFN matmul,
+            # and the LN reductions iterate the 4-D domain (profiled at
+            # ~2x the cost of the identical flat chain). Reshapes are
+            # contiguous (free); values and the param tree are unchanged.
+            B, L, K, He = h_E.shape
+            se = h_E.dtype
+            h_E = h_E.reshape(B, L * K, He)
+            e_msg = e_msg.reshape(B, L * K, He)
             if mask_attend is not None:
-                e_msg = e_msg * mask_attend[..., None]
-            h_E = nn.LayerNorm()(h_E + drop(e_msg.astype(h_E.dtype)))
-            h_E = nn.LayerNorm()(h_E + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype, name="MLP_3")(h_E).astype(h_E.dtype)))
+                e_msg = e_msg * mask_attend.reshape(B, L * K, 1).astype(e_msg.dtype)
+            h_E = nn.LayerNorm()(h_E + drop(e_msg.astype(se))).astype(se)
+            h_E = nn.LayerNorm()(h_E + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype, name="MLP_3")(h_E).astype(se))).astype(se)
             if mask_attend is not None:
-                h_E = h_E * mask_attend[..., None]
+                h_E = h_E * mask_attend.reshape(B, L * K, 1).astype(se)
+            h_E = h_E.reshape(B, L, K, He)
 
         return h_V, h_E
 
@@ -297,12 +344,21 @@ class MessagePassingStack(nn.Module):
     dtype: object = None
     edge_dim: int = 128
 
+    @staticmethod
+    def attend_mask(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+        """[B, L, K] edge validity: mask_i * mask_j over the neighbor table.
+        Static during sampling — callers with a cached graph should compute
+        it once and pass it in (the gather costs ~130 us/step if left
+        inside the sampling scan)."""
+        mask_attend = gather_nodes(mask[..., None], idx).squeeze(-1)
+        return mask[..., None] * mask_attend
+
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask, deterministic: bool = True,
                  fused: bool = False, skip_last_edge_update: bool = False,
-                 fused_layer: bool = False):
-        mask_attend = gather_nodes(mask[..., None], idx).squeeze(-1)
-        mask_attend = mask[..., None] * mask_attend
+                 fused_layer: bool = False, mask_attend=None):
+        if mask_attend is None:
+            mask_attend = self.attend_mask(mask, idx)
 
         for layer in range(self.num_layers):
             # the final layer's edge update feeds nothing (only h_V is

@@ -50,15 +50,15 @@ def _fused_kernel(per_i_ref, pj_ref, he_ref, geom_ref, mask_ref,
     x = x + be_ref[...]                            # bias [1, H] broadcasts
     # broadcast node-i term over its K edges; add gathered node-j term
     x = x.reshape(blk, K, H) + per_i_ref[...][:, None, :]
-    x = act(x.reshape(blk * K, H) + pj_ref[...])
+    x = act(x.reshape(blk * K, H) + pj_ref[...].astype(jnp.float32))
     x = _message_chain(x.astype(cd), w1_ref[...].astype(cd), b1_ref[...],
                        w2_ref[...].astype(cd), b2_ref[...], act)
 
     if pool:
         x = x.reshape(blk, K, H) * mask_ref[...][..., None]
-        out_ref[...] = x.sum(axis=1) / float(K)
+        out_ref[...] = (x.sum(axis=1) / float(K)).astype(out_ref.dtype)
     else:
-        out_ref[...] = x
+        out_ref[...] = x.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -90,15 +90,21 @@ def fused_message(per_i, per_j_gathered, h_E, geom, mask_attend,
     def pad_rows(x, rows):
         return jnp.pad(x, [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
 
+    # inputs enter the kernel in their OWN dtype (bf16 streams on the
+    # inference path — forcing f32 here doubled the kernel's HBM input
+    # traffic, the dominant cost of this bandwidth-bound op); the edge
+    # output is written in the h_E stream dtype (identical values: the
+    # caller cast the f32 result to the stream dtype anyway, and the 0/1
+    # mask multiply commutes with the rounding)
     per_i_p = pad_rows(per_i.astype(jnp.float32), L_pad)
-    pj_p = pad_rows(per_j_gathered.reshape(L * K, H).astype(jnp.float32), L_pad * K)
-    he_p = pad_rows(h_E.reshape(L * K, He).astype(jnp.float32), L_pad * K)
-    geom_p = pad_rows(geom.reshape(L * K, G).astype(jnp.float32), L_pad * K)
+    pj_p = pad_rows(per_j_gathered.reshape(L * K, H), L_pad * K)
+    he_p = pad_rows(h_E.reshape(L * K, He), L_pad * K)
+    geom_p = pad_rows(geom.reshape(L * K, G), L_pad * K)
     mask_p = pad_rows(mask_attend.astype(jnp.float32), L_pad)
 
     grid = (L_pad // blk,)
     out_shape = (jax.ShapeDtypeStruct((L_pad, H), jnp.float32) if pool
-                 else jax.ShapeDtypeStruct((L_pad * K, H), jnp.float32))
+                 else jax.ShapeDtypeStruct((L_pad * K, H), h_E.dtype))
     out_spec = (pl.BlockSpec((blk, H), lambda r: (r, 0), memory_space=pltpu.VMEM)
                 if pool else
                 pl.BlockSpec((blk * K, H), lambda r: (r, 0), memory_space=pltpu.VMEM))
