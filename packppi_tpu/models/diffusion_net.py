@@ -34,7 +34,10 @@ class NetworkConfig:
     num_rbf: int = 16
     top_k: int = 32
     compute_dtype: str = "float32"  # "bfloat16" for the fast inference path
-    fused_messages: bool = False    # Pallas fused message kernel (inference)
+    # Pallas fused message kernel (inference): False | True | "geom"
+    # ("geom" additionally computes the point-geometry features inside the
+    # kernel — the [B, L, K, 9P] feature tensor never touches HBM)
+    fused_messages: object = False
     fused_layers: bool = False      # step-fused Pallas IPMP layer (inference;
                                     # supersedes fused_messages when set)
     # storage dtype of the sampler's cached static edge embeddings
@@ -131,7 +134,7 @@ class ChiScoreNetwork(nn.Module):
             h_V.astype(dtype) if dtype else h_V,
             h_E.astype(dtype) if dtype else h_E,
             idx, batch.X, batch.residue_mask, deterministic,
-            fused=c.fused_messages and deterministic,
+            fused=c.fused_messages if deterministic else False,
             skip_last_edge_update=skip_last_edge_update and deterministic,
             fused_layer=c.fused_layers and deterministic,
             mask_attend=mask_attend)

@@ -157,6 +157,57 @@ class FactoredMessageMLP(nn.Module):
                            preferred_element_type=jnp.float32)
         return jnp.dot(x, kernel)
 
+    def geom_fused(self, h_V, h_E, idx, p_local, frames, mask_attend=None,
+                   pool: bool = False, interpret: bool = False):
+        """Fused message path with IN-KERNEL geometry (ops.pallas_ipmp.
+        fused_message_geom): the [B, L, K, 9P] geometry feature tensor is
+        never materialized in HBM — the kernel reads the per-node point
+        planes/frames plus the gathered neighbor global-point planes
+        ([B, L, K, 3P] f32, the narrowest frame-invariant-sufficient edge
+        stream) and rebuilds the features in VMEM between the block reads
+        and the message matmuls.
+
+        Args:
+            p_local: [B, L, P, 3] per-node predicted points (node frame).
+            frames: backbone Rigid frames (rot [B, L, 3, 3], trans [B, L, 3]).
+        """
+        from packppi_tpu.ops.pallas_ipmp import _geom_weight_perm, fused_message_geom
+
+        B, L, P = p_local.shape[:3]
+        per_i = self._mm(h_V, self.Dense_i.kernel)
+        per_j = self._mm(h_V, self.Dense_j.kernel)
+        # j-term gathered in the stream dtype (see the note in __call__);
+        # the neighbor point planes stay f32 — they are GLOBAL coordinates
+        # (O(100 A)) and bf16 there loses Angstrom-scale precision (same
+        # failure mode as the rejected Gram-matrix clash kernel, PERF.md)
+        pjg = gather_nodes(per_j.astype(h_E.dtype), idx)
+        ng = gather_nodes(geometry_global_points(p_local, frames), idx)
+        pl_planes = jnp.concatenate([p_local[..., 0], p_local[..., 1],
+                                     p_local[..., 2]], -1)        # [B, L, 3P]
+        rot9 = frames.rot.reshape(B, L, 9)
+        trans3 = frames.trans
+        mask = (mask_attend if mask_attend is not None
+                else jnp.ones(idx.shape, jnp.float32))
+
+        He = self.edge_dim
+        w_g_perm = self.Dense_e.kernel[He:][_geom_weight_perm(P)]
+        cd = self.dtype or jnp.float32
+
+        def one(pi, pj, he, plp, ngp, r9, t3, mk):
+            return fused_message_geom(
+                pi, pj, he, plp, ngp, r9, t3, mk,
+                self.Dense_e.kernel[:He], w_g_perm, self.Dense_e.bias,
+                self.Dense_1.kernel, self.Dense_1.bias,
+                self.Dense_2.kernel, self.Dense_2.bias,
+                K=idx.shape[-1], P=P, act_name=self.act, pool=pool,
+                # the in-kernel geometry intermediates overflow the 16M
+                # scoped-VMEM stack at blk=128 (by 0.1-0.4M depending on the
+                # surrounding fusion context); 64 fits with margin
+                blk=64,
+                compute_dtype=cd, interpret=interpret)
+
+        return jax.vmap(one)(per_i, pjg, h_E, pl_planes, ng, rot9, trans3, mask)
+
     def __call__(self, h_V, h_E, idx, geom, mask_attend=None,
                  pool: bool = False, fused: bool = False,
                  interpret: bool = False):
@@ -247,10 +298,19 @@ class InvariantPointLayer(nn.Module):
         kw = dict(edge_dim=self.edge_dim, geom_dim=9 * self.n_points,
                   act=self.act, dtype=self.dtype)
 
+        geom_in_kernel = fused == "geom" and not self.is_initializing()
+        B, L = idx.shape[:2]
+
         points_node = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
-        geom = self._geometry_features(h_V, idx, frames, points_node)
-        msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)(
-            h_V, h_E, idx, geom, mask_attend, pool=True, fused=fused)
+        if geom_in_kernel:
+            p_local = points_node(h_V).reshape(B, L, self.n_points, 3)
+            msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw).geom_fused(
+                h_V, h_E, idx, p_local, frames, mask_attend, pool=True)
+        else:
+            geom = self._geometry_features(h_V, idx, frames, points_node)
+            msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)(
+                h_V, h_E, idx, geom, mask_attend, pool=True,
+                fused=bool(fused) and fused != "geom")
 
         # LayerNorm promotes bf16 inputs to f32 (f32 scale/bias params), so
         # without the .astype(sd) casts the "bf16" streams silently flow f32
@@ -268,9 +328,15 @@ class InvariantPointLayer(nn.Module):
 
         if self.edge_update and do_edge_update:
             points_edge = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
-            geom = self._geometry_features(h_V, idx, frames, points_edge)
-            e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)(
-                h_V, h_E, idx, geom, mask_attend, pool=False, fused=fused)
+            if geom_in_kernel:
+                p_local = points_edge(h_V).reshape(B, L, self.n_points, 3)
+                e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw).geom_fused(
+                    h_V, h_E, idx, p_local, frames, mask_attend, pool=False)
+            else:
+                geom = self._geometry_features(h_V, idx, frames, points_edge)
+                e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)(
+                    h_V, h_E, idx, geom, mask_attend, pool=False,
+                    fused=bool(fused) and fused != "geom")
             # run the residual/LN/FFN chain on a flat [B, L*K, He] stream:
             # 4-D [B, L, K, He] dots push XLA:TPU into a convolution-style
             # emitter with layout-change copies around every FFN matmul,

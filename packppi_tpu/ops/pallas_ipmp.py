@@ -61,6 +61,167 @@ def _fused_kernel(per_i_ref, pj_ref, he_ref, geom_ref, mask_ref,
         out_ref[...] = x.astype(out_ref.dtype)
 
 
+def _geom_fused_kernel(per_i_ref, pj_ref, he_ref, pl_ref, ng_ref, r_ref,
+                       t_ref, mask_ref,
+                       whe_ref, wg_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       out_ref, *, K: int, P: int, act_name: str, pool: bool,
+                       compute_dtype):
+    """Message kernel with the point-geometry features computed IN VMEM.
+
+    The [blk*K, 9P] geometry block never touches HBM: inputs are the tiny
+    per-node tensors (local point planes, frame rows) plus the gathered
+    neighbor global-point planes, and the feature math runs on [blk, K, P]
+    values between the block reads and the message matmuls. ``wg_ref`` rows
+    must be pre-permuted to plane-major feature order (see
+    ``_geom_weight_perm``).
+    """
+    blk = per_i_ref.shape[0]
+    H = per_i_ref.shape[1]
+    act = _act(act_name)
+    cd = compute_dtype
+    eps = 1e-8
+
+    pl = pl_ref[...]                                   # [blk, 3P] f32 planes
+    plx, ply, plz = pl[:, :P], pl[:, P:2 * P], pl[:, 2 * P:]
+    R = r_ref[...]                                     # [blk, 9] rows R00..R22
+    t = t_ref[...]                                     # [blk, 3]
+
+    # global points of node i (same math/order as geometry_global_points)
+    pgx = R[:, 0:1] * plx + R[:, 1:2] * ply + R[:, 2:3] * plz + t[:, 0:1]
+    pgy = R[:, 3:4] * plx + R[:, 4:5] * ply + R[:, 5:6] * plz + t[:, 1:2]
+    pgz = R[:, 6:7] * plx + R[:, 7:8] * ply + R[:, 8:9] * plz + t[:, 2:3]
+
+    ng = ng_ref[...].reshape(blk, K, 3 * P)            # gathered neighbor planes
+    ngx, ngy, ngz = ng[..., :P], ng[..., P:2 * P], ng[..., 2 * P:]
+
+    col = lambda a, c: a[:, c:c + 1][:, :, None]       # [blk,1,1] broadcast
+    dx = ngx - col(t, 0)
+    dy = ngy - col(t, 1)
+    dz = ngz - col(t, 2)
+    # R_i^T rows: column c of R
+    nlx = col(R, 0) * dx + col(R, 3) * dy + col(R, 6) * dz
+    nly = col(R, 1) * dx + col(R, 4) * dy + col(R, 7) * dz
+    nlz = col(R, 2) * dx + col(R, 5) * dy + col(R, 8) * dz
+
+    norm_pl = jnp.sqrt(plx * plx + ply * ply + plz * plz + eps)   # [blk,P]
+    norm_nl = jnp.sqrt(nlx * nlx + nly * nly + nlz * nlz + eps)   # [blk,K,P]
+    ddx = pgx[:, None, :] - ngx
+    ddy = pgy[:, None, :] - ngy
+    ddz = pgz[:, None, :] - ngz
+    norm_pair = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + eps)
+
+    bc = lambda a: jnp.broadcast_to(a[:, None, :], (blk, K, P))
+    geom = jnp.concatenate([
+        bc(plx), bc(ply), bc(plz), bc(norm_pl),
+        nlx, nly, nlz, norm_nl, norm_pair,
+    ], -1).reshape(blk * K, 9 * P)
+
+    x = jnp.dot(he_ref[...].astype(cd), whe_ref[...].astype(cd),
+                preferred_element_type=jnp.float32)
+    x = x + jnp.dot(geom.astype(cd), wg_ref[...].astype(cd),
+                    preferred_element_type=jnp.float32)
+    x = x + be_ref[...]
+    x = x.reshape(blk, K, H) + per_i_ref[...][:, None, :]
+    x = act(x.reshape(blk * K, H) + pj_ref[...].astype(jnp.float32))
+    x = _message_chain(x.astype(cd), w1_ref[...].astype(cd), b1_ref[...],
+                       w2_ref[...].astype(cd), b2_ref[...], act)
+
+    if pool:
+        x = x.reshape(blk, K, H) * mask_ref[...][..., None]
+        out_ref[...] = (x.sum(axis=1) / float(K)).astype(out_ref.dtype)
+    else:
+        out_ref[...] = x.astype(out_ref.dtype)
+
+
+def _geom_weight_perm(P: int):
+    """Row permutation taking Dense_e's geometry rows (feature order
+    [flat_pl(xyz-interleaved) | norm_pl | flat_nl(interleaved) | norm_nl |
+    norm_pair]) to the kernel's plane-major order
+    [plx|ply|plz|norm_pl|nlx|nly|nlz|norm_nl|norm_pair]."""
+    import numpy as np
+    perm = np.empty(9 * P, dtype=np.int32)
+    for c in range(3):
+        for p in range(P):
+            perm[c * P + p] = 3 * p + c                 # flat_pl
+            perm[4 * P + c * P + p] = 4 * P + 3 * p + c  # flat_nl
+    perm[3 * P:4 * P] = np.arange(3 * P, 4 * P)          # norm_pl
+    perm[7 * P:8 * P] = np.arange(7 * P, 8 * P)          # norm_nl
+    perm[8 * P:9 * P] = np.arange(8 * P, 9 * P)          # norm_pair
+    return perm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "P", "act_name", "pool", "blk", "compute_dtype",
+                     "interpret"))
+def fused_message_geom(per_i, per_j_gathered, h_E, p_local_planes, ng_planes,
+                       rot9, trans3, mask_attend,
+                       w_he, w_g_perm, b_e, w1, b1, w2, b2,
+                       K: int = 32, P: int = 8, act_name: str = "relu",
+                       pool: bool = True, blk: int = 128,
+                       compute_dtype=jnp.bfloat16, interpret: bool = False):
+    """``fused_message`` with in-kernel geometry over one batch element.
+
+    Args:
+        p_local_planes: [L, 3P] f32 local point planes [plx|ply|plz].
+        ng_planes: [L, K, 3P] f32 gathered neighbor global-point planes.
+        rot9: [L, 9] f32 backbone rotation rows (row-major R00..R22).
+        trans3: [L, 3] f32 frame translations.
+        w_g_perm: [9P, H] Dense_e geometry rows, pre-permuted with
+            ``_geom_weight_perm``.
+    Other args/returns as ``fused_message``.
+    """
+    L, H = per_i.shape
+    He = h_E.shape[-1]
+    L_pad = -(-L // blk) * blk
+
+    def pad_rows(x, rows):
+        return jnp.pad(x, [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+    per_i_p = pad_rows(per_i.astype(jnp.float32), L_pad)
+    pj_p = pad_rows(per_j_gathered.reshape(L * K, H), L_pad * K)
+    he_p = pad_rows(h_E.reshape(L * K, He), L_pad * K)
+    pl_p = pad_rows(p_local_planes.astype(jnp.float32), L_pad)
+    ng_p = pad_rows(ng_planes.reshape(L * K, 3 * P).astype(jnp.float32),
+                    L_pad * K)
+    r_p = pad_rows(rot9.astype(jnp.float32), L_pad)
+    t_p = pad_rows(trans3.astype(jnp.float32), L_pad)
+    mask_p = pad_rows(mask_attend.astype(jnp.float32), L_pad)
+
+    grid = (L_pad // blk,)
+    out_shape = (jax.ShapeDtypeStruct((L_pad, H), jnp.float32) if pool
+                 else jax.ShapeDtypeStruct((L_pad * K, H), h_E.dtype))
+    out_spec = (pl.BlockSpec((blk, H), lambda r: (r, 0), memory_space=pltpu.VMEM)
+                if pool else
+                pl.BlockSpec((blk * K, H), lambda r: (r, 0), memory_space=pltpu.VMEM))
+
+    row = lambda cols: pl.BlockSpec((blk, cols), lambda r: (r, 0),
+                                    memory_space=pltpu.VMEM)
+    erow = lambda cols: pl.BlockSpec((blk * K, cols), lambda r: (r, 0),
+                                     memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_geom_fused_kernel, K=K, P=P, act_name=act_name,
+                          pool=pool, compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[row(H), erow(H), erow(He), row(3 * P), erow(3 * P),
+                  row(9), row(3), pl.BlockSpec((blk, K), lambda r: (r, 0),
+                                               memory_space=pltpu.VMEM)]
+                 + [full()] * 7,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(per_i_p, pj_p, he_p, pl_p, ng_p, r_p, t_p, mask_p,
+      w_he.astype(jnp.float32), w_g_perm.astype(jnp.float32),
+      b_e.astype(jnp.float32).reshape(1, -1),
+      w1.astype(jnp.float32), b1.astype(jnp.float32).reshape(1, -1),
+      w2.astype(jnp.float32), b2.astype(jnp.float32).reshape(1, -1))
+
+    if pool:
+        return out[:L]
+    return out[: L * K].reshape(L, K, H)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("K", "act_name", "pool", "blk", "compute_dtype", "interpret"))

@@ -138,6 +138,35 @@ def test_fused_messages_match_unfused(small_batch):
     np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=2e-5)
 
 
+def test_fused_messages_geom_match_unfused(small_batch):
+    """The geometry-in-kernel fused message path (fused_messages="geom",
+    interpret mode on CPU) must match the unfused jnp path through the full
+    network — locks both the in-VMEM geometry math and the plane-major
+    weight-row permutation (_geom_weight_perm)."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    from packppi_tpu.models.ipmp import FactoredMessageMLP
+    from unittest import mock
+
+    model_g = TorsionalDiffusion.create(NC(fused_messages="geom"), SampleConfig())
+    model_u = TorsionalDiffusion.create(NC(), SampleConfig())
+    params = model_u.init(jax.random.key(0), small_batch)
+    t = jnp.full(small_batch.residue_mask.shape, 0.3)
+
+    s_u, h_u = model_u.apply(params, small_batch, small_batch.SC_D, t)
+
+    orig = FactoredMessageMLP.geom_fused
+
+    def patched(self, *args, **kw):
+        kw["interpret"] = True
+        return orig(self, *args, **kw)
+
+    with mock.patch.object(FactoredMessageMLP, "geom_fused", patched):
+        s_g, h_g = model_g.apply(params, small_batch, small_batch.SC_D, t)
+
+    np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_u), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_g), np.asarray(h_u), atol=2e-5)
+
+
 def test_fused_layers_match_unfused(small_batch):
     """The step-fused Pallas layer path (two VMEM-resident passes per IPMP
     layer, interpret mode on CPU) must match the unfused jnp path through
