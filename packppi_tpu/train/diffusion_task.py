@@ -58,6 +58,21 @@ def make_train_step(model: TorsionalDiffusion, optimizer: optax.GradientTransfor
     return train_step
 
 
+def make_ema_update(decay: float):
+    """Exponential moving average of params (jit + donate the old buffer).
+
+    Standard diffusion-model practice the reference harness lacks: the
+    sampler evaluates a smoothed parameter trajectory instead of the last
+    SGD iterate. Kept OUTSIDE TrainState so the train-state checkpoint
+    tree (and every existing checkpoint) is unchanged; the EMA tree is
+    saved as a ``<ckpt>_ema`` sidecar (see loop.CheckpointManager).
+    """
+    def ema_update(ema, params):
+        return jax.tree.map(lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+                            ema, params)
+    return ema_update
+
+
 def make_eval_step(model: TorsionalDiffusion):
     def eval_step(params, key, batch: ProteinBatch):
         return model.loss(params, key, batch)

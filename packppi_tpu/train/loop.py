@@ -20,7 +20,7 @@ import numpy as np
 import optax
 
 from packppi_tpu.train.checkpoints import load_model_params, load_params, save_params
-from packppi_tpu.train.diffusion_task import init_state, make_train_step
+from packppi_tpu.train.diffusion_task import init_state, make_ema_update, make_train_step
 from packppi_tpu.utils.logging import MetricLogger, get_logger
 
 log = get_logger(__name__)
@@ -37,9 +37,14 @@ class CheckpointManager:
         self.index_file = self.dir / "index.json"
         self.index = json.loads(self.index_file.read_text()) if self.index_file.exists() else {}
 
-    def save(self, step: int, state, metric: Optional[float] = None) -> None:
+    def save(self, step: int, state, metric: Optional[float] = None,
+             ema=None) -> None:
         name = f"step_{step:08d}"
         save_params(self.dir / name, state)
+        if ema is not None:
+            # params-only sidecar (same layout as a converted checkpoint, so
+            # `packppi-pack --ckpt <...>_ema` loads it directly)
+            save_params(self.dir / f"{name}_ema", ema)
         self.index[name] = {"step": step, "metric": metric}
         self._prune()
         self.index_file.write_text(json.dumps(self.index))
@@ -53,6 +58,7 @@ class CheckpointManager:
         for name in list(self.index):
             if name not in keep:
                 shutil.rmtree(self.dir / name, ignore_errors=True)
+                shutil.rmtree(self.dir / f"{name}_ema", ignore_errors=True)
                 del self.index[name]
 
     def latest(self) -> Optional[str]:
@@ -161,6 +167,15 @@ def train_diffusion(cfg) -> dict:
         state = load_params(resume, jax.eval_shape(lambda: state))
         start_epoch = int(state.step) // max(1, len(loaders["train"]))
 
+    ema_decay = float(cfg.trainer.get("ema_decay", 0.0) or 0.0)
+    ema = None
+    if ema_decay > 0.0:
+        # jnp.array COPIES: ema_step donates the ema buffer, so it must
+        # never alias state.params
+        ema = jax.tree.map(jnp.array, state.params)
+        if resume and Path(f"{resume}_ema").exists():
+            ema = load_params(f"{resume}_ema", jax.eval_shape(lambda: ema))
+
     if n_devices > 1:
         # SPMD: batch over 'data' (ICI all-reduce on grads), large kernels
         # FSDP-sharded over 'model'
@@ -179,6 +194,8 @@ def train_diffusion(cfg) -> dict:
         )
         b_shard = jax.tree.map(lambda _: batch_sharding(mesh), init_batch)
         state = jax.device_put(state, state_shard)
+        if ema is not None:
+            ema = jax.device_put(ema, p_shard)
         put_batch = lambda b: jax.device_put(b, b_shard)
         train_step = jax.jit(make_train_step(model, optimizer),
                              in_shardings=(state_shard, b_shard),
@@ -197,12 +214,17 @@ def train_diffusion(cfg) -> dict:
         eval_loss = jax.jit(model.loss)
         sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=cfg.sample.n_diffusion_steps))
 
+    ema_step = (jax.jit(make_ema_update(ema_decay), donate_argnums=(0,))
+                if ema is not None else None)
+
     # ---- epochs -------------------------------------------------------------
     best_val = float("inf")
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         losses = []
         for batch in loaders["train"]:
             state, loss = train_step(state, put_batch(batch))
+            if ema is not None:
+                ema = ema_step(ema, state.params)
             losses.append(loss)
             if len(losses) % cfg.trainer.log_every_steps == 0:
                 metrics_log.log(int(state.step), {"train/loss": float(jnp.stack(losses[-cfg.trainer.log_every_steps:]).mean())})
@@ -210,10 +232,13 @@ def train_diffusion(cfg) -> dict:
 
         val_loss = float("nan")
         if (epoch + 1) % cfg.trainer.val_every_epochs == 0 and len(ds["val"]):
+            # with EMA active, validation / sampling / best-ckpt selection
+            # all evaluate the EMA weights (what inference will use)
+            eval_params = ema if ema is not None else state.params
             vlosses = []
             for batch in loaders["val"]:
                 key, k_v = jax.random.split(key)
-                vlosses.append(eval_loss(state.params, k_v, put_batch(batch)))
+                vlosses.append(eval_loss(eval_params, k_v, put_batch(batch)))
             val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
             best_val = min(best_val, val_loss) if vlosses else best_val
             metrics_log.log(int(state.step), {"val/loss": val_loss, "train/loss_epoch": train_loss})
@@ -222,7 +247,7 @@ def train_diffusion(cfg) -> dict:
                 batch = next(iter(loaders["val"]), None)
                 if batch is not None:
                     key, k_s = jax.random.split(key)
-                    sc = sample_fn(state.params, k_s, put_batch(batch))
+                    sc = sample_fn(eval_params, k_s, put_batch(batch))
                     m = chi_metrics(batch.SC_D, np.asarray(sc), batch.SC_D_mask,
                                     batch.chi_1pi_periodic_mask)
                     metrics_log.log(int(state.step), m, prefix="val/")
@@ -233,21 +258,28 @@ def train_diffusion(cfg) -> dict:
         # not finiteness: an empty/NaN val epoch must still save, or a run
         # whose val loader yields nothing would never checkpoint.
         if (epoch + 1) % cfg.trainer.val_every_epochs == 0 or epoch == cfg.trainer.max_epochs - 1:
-            ckpt_mgr.save(int(state.step), state, metric=val_loss if np.isfinite(val_loss) else None)
+            ckpt_mgr.save(int(state.step), state,
+                          metric=val_loss if np.isfinite(val_loss) else None,
+                          ema=ema)
 
     # final held-out evaluation with the best checkpoint (reference:
     # trainer.test on best ckpt, src/train_diffusion.py:74-86)
     test_loss = float("nan")
     if len(ds["test"]):
         best = ckpt_mgr.best()
+        test_params = None
         if best:
             state = load_params(best, jax.eval_shape(lambda: state))
+            if ema is not None and Path(f"{best}_ema").exists():
+                test_params = load_params(f"{best}_ema", jax.eval_shape(lambda: ema))
         test_loader = BucketedLoader(ds["test"], global_batch, shuffle=False,
                                      drop_last=(n_devices > 1), prefetch=0)
+        if test_params is None:
+            test_params = ema if ema is not None else state.params
         tlosses = []
         for batch in test_loader:
             key, k_t = jax.random.split(key)
-            tlosses.append(eval_loss(state.params, k_t, put_batch(batch)))
+            tlosses.append(eval_loss(test_params, k_t, put_batch(batch)))
         test_loss = float(jnp.stack(tlosses).mean()) if tlosses else float("nan")
         metrics_log.log(int(state.step), {"test/loss": test_loss})
         log.info(f"test loss (best ckpt): {test_loss:.4f}")
