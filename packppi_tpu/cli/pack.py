@@ -63,6 +63,10 @@ def build_parser():
     p.add_argument("--exact_length", action="store_true",
                    help="skip length bucketing (exact reference-style shapes)")
     p.add_argument("--print_metrics", action="store_true", default=True)
+    p.add_argument("--metrics", action="store_true",
+                   help="directory mode: compute the per-structure chi/clash "
+                        "metric suite on a host thread pool (overlapped with "
+                        "device work) and record it in summary.json")
     return p
 
 
@@ -190,6 +194,12 @@ def run_directory(args) -> list:
     samples per complex in the same row budget and keeps the least-clashing
     one; ``--use_proximal`` refines every winner with the batched proximal
     optimizer (accept rule applied per complex via its own loss trajectory).
+
+    The whole sample -> winner-select -> refine -> coords chain is ONE
+    jitted dispatch per chunk (winner selection and the proximal accept rule
+    run on device), and all host work — merge, PDB writes, the optional
+    ``--metrics`` suite — runs on a thread pool overlapped with the next
+    chunk's device execution.
     """
     from packppi_tpu.utils.platform import configure_platform
     configure_platform(getattr(args, "platform", None))
@@ -244,96 +254,109 @@ def run_directory(args) -> list:
         key, k_init = jax.random.split(key)
         params = model.init(k_init, init_batch)
 
-    def _sample(p, k, b):
+    import jax.numpy as jnp
+
+    use_proximal = bool(getattr(args, "use_proximal", False))
+
+    def _pack_chunk(p, k, b):
+        """One device dispatch per chunk: sample -> per-complex winner
+        selection -> optional proximal refinement (per-row accept rule) ->
+        atom14 coordinates. No host round-trips between stages (the r3
+        rewrite of the sample/host-argmin/restack/refine sequence)."""
         sc = model.sample(p, k, b, n_steps=args.n_steps,
                           corrector_steps=getattr(args, "corrector_steps", 0))
         clash = (compute_residue_clash(b, sc) * b.residue_mask).sum(-1)
-        return sc, clash
 
-    def _refine(b, sc):
-        return proximal_optimize(
-            b, sc, model.sample_cfg.violation_tolerance_factor,
-            model.sample_cfg.clash_overlap_tolerance,
-            model.sample_cfg.lamda, model.sample_cfg.num_steps)
+        # winner = least-clashing of each complex's n_samples rows; the
+        # winner-batch rows are every n_samples-th input row (all of a
+        # complex's sample rows share features). Tail rows pad to the fixed
+        # rows_b budget with repeats of the last complex (same layout the
+        # host-side restack produced).
+        cr = clash[: per_chunk * n_samples].reshape(per_chunk, n_samples)
+        win = jnp.argmin(cr, axis=1) + jnp.arange(per_chunk) * n_samples
+        win = jnp.concatenate([win, jnp.repeat(win[-1:], rows_b - per_chunk, 0)])
+        base = jnp.concatenate([
+            jnp.arange(per_chunk) * n_samples,
+            jnp.full((rows_b - per_chunk,), (per_chunk - 1) * n_samples,
+                     dtype=jnp.int32)])
+        wb = jax.tree.map(lambda x: jnp.take(x, base, axis=0), b)
+        sc_win = jnp.take(sc, win, axis=0)
 
-    coords_of = lambda b, sc: atom14_coords_from_torsions(
-        b.X, b.residue_type, b.BB_D, sc)
+        if use_proximal:
+            res = proximal_optimize(
+                wb, sc_win, model.sample_cfg.violation_tolerance_factor,
+                model.sample_cfg.clash_overlap_tolerance,
+                model.sample_cfg.lamda, model.sample_cfg.num_steps)
+            accept = res.row_losses[-1] < res.row_losses[0]          # [rows_b]
+            sc_win = jnp.where(accept[:, None, None], res.SC_D, sc_win)
+
+        coords = atom14_coords_from_torsions(wb.X, wb.residue_type, wb.BB_D, sc_win)
+        return coords, wb.atom_mask
 
     if n_devices > 1:
         # rows shard over 'data'; params/keys replicate; XLA partitions the
-        # row-independent sampler with zero collectives on the hot path
+        # row-independent sampler with zero collectives on the hot path (the
+        # winner-row takes gather across shards once per chunk)
         from packppi_tpu.parallel import batch_sharding, make_mesh, replicated
 
         mesh = make_mesh(n_devices, model_parallel=1)
         rep, b_shard = replicated(mesh), batch_sharding(mesh)
         shard_batch = lambda b: jax.device_put(b, jax.tree.map(lambda _: b_shard, b))
-        sample_fn = jax.jit(_sample, in_shardings=(rep, rep, b_shard),
-                            out_shardings=(b_shard, b_shard))
-        from packppi_tpu.sampling.proximal import ProximalResult
-
-        refine_fn = jax.jit(_refine, in_shardings=(b_shard, b_shard),
-                            out_shardings=ProximalResult(
-                                SC_D=b_shard, losses=rep, clash_mask=b_shard,
-                                row_losses=rep))
-        coords_fn = jax.jit(coords_of, in_shardings=(b_shard, b_shard),
-                            out_shardings=b_shard)
+        pack_fn = jax.jit(_pack_chunk, in_shardings=(rep, rep, b_shard),
+                          out_shardings=(b_shard, b_shard))
     else:
         shard_batch = lambda b: b
-        sample_fn = jax.jit(_sample)
-        refine_fn = jax.jit(_refine)
-        coords_fn = jax.jit(coords_of)
+        pack_fn = jax.jit(_pack_chunk)
 
     by_bucket: dict[int, list[int]] = {}
     for i, f in enumerate(feats):
         by_bucket.setdefault(bucket_length(len(f["residue_type"])), []).append(i)
 
-    results = []
+    # host work (structure merge + PDB write + optional metric suite) runs on
+    # a thread pool OVERLAPPED with the next chunk's device dispatch — the
+    # device never waits on file I/O or the Python metric path
+    from concurrent.futures import ThreadPoolExecutor
+    from types import SimpleNamespace
+
+    analysis = None
+    if getattr(args, "metrics", False):
+        from packppi_tpu.utils.analysis import ProteinAnalysis
+
+        analysis = ProteinAnalysis(getattr(args, "molprobity_loc", None),
+                                   tmp_dir=str(outdir / "tmp"))
+
+    def _write_one(i: int, coords_row, mask_row) -> dict:
+        path, prot = proteins[i]
+        L = len(feats[i]["residue_type"])
+        out_prot = _merge_output_structure(
+            prot, feats[i], SimpleNamespace(atom_mask=mask_row[None]),
+            coords_row[None], L)
+        out_path = outdir / path.name
+        out_path.write_text(to_pdb(out_prot))
+        rec = {"input": str(path), "output": str(out_path)}
+        if analysis is not None:
+            m = analysis.get_metric(str(path), str(out_path)) or {}
+            rec["metrics"] = {k: (float(v) if isinstance(v, (int, float, np.floating))
+                                  else v) for k, v in m.items()}
+        return rec
+
     t0 = time.perf_counter()
-    for bucket, members in sorted(by_bucket.items()):
-        for s in range(0, len(members), per_chunk):
-            chunk = members[s:s + per_chunk]
-            # fixed shapes: pad the chunk with repeats of its last complex
-            padded = chunk + [chunk[-1]] * (per_chunk - len(chunk))
-            row_feats = [feats[i] for i in padded for _ in range(n_samples)]
-            row_feats += [row_feats[-1]] * (rows - len(row_feats))
-            batch = shard_batch(stack_batch(row_feats, target_len=bucket))
-            key, k = jax.random.split(key)
-            sc, clash = sample_fn(params, k, batch)
-
-            # least-clashing sample per complex
-            clash = np.asarray(clash)
-            win = [c * n_samples + int(np.argmin(clash[c * n_samples:(c + 1) * n_samples]))
-                   for c in range(per_chunk)]
-            if n_samples > 1:
-                sc_host = np.asarray(sc)[win]
-            else:
-                sc_host = np.asarray(sc)
-            win_feats = [feats[i] for i in padded]
-            win_feats += [win_feats[-1]] * (rows_b - per_chunk)
-            sc_host = np.concatenate(
-                [sc_host, np.repeat(sc_host[-1:], rows_b - per_chunk, 0)], 0)
-            wbatch = shard_batch(stack_batch(win_feats, target_len=bucket))
-            sc_win = jax.device_put(
-                jax.numpy.asarray(sc_host),
-                b_shard if n_devices > 1 else None)
-
-            if getattr(args, "use_proximal", False):
-                res = refine_fn(wbatch, sc_win)
-                row_losses = np.asarray(res.row_losses)
-                accept = row_losses[-1] < row_losses[0]     # [rows_b]
-                sc_win = jax.numpy.where(
-                    jax.numpy.asarray(accept)[:, None, None], res.SC_D, sc_win)
-
-            coords = np.asarray(coords_fn(wbatch, sc_win))
-            for row, i in enumerate(chunk):
-                path, prot = proteins[i]
-                L = len(feats[i]["residue_type"])
-                row_batch = wbatch._replace(atom_mask=wbatch.atom_mask[row:row + 1])
-                out_prot = _merge_output_structure(
-                    prot, feats[i], row_batch, coords[row:row + 1], L)
-                out_path = outdir / path.name
-                out_path.write_text(to_pdb(out_prot))
-                results.append({"input": str(path), "output": str(out_path)})
+    futures = []
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for bucket, members in sorted(by_bucket.items()):
+            for s in range(0, len(members), per_chunk):
+                chunk = members[s:s + per_chunk]
+                # fixed shapes: pad the chunk with repeats of its last complex
+                padded = chunk + [chunk[-1]] * (per_chunk - len(chunk))
+                row_feats = [feats[i] for i in padded for _ in range(n_samples)]
+                row_feats += [row_feats[-1]] * (rows - len(row_feats))
+                batch = shard_batch(stack_batch(row_feats, target_len=bucket))
+                key, k = jax.random.split(key)
+                coords, masks = pack_fn(params, k, batch)
+                coords, masks = np.asarray(coords), np.asarray(masks)
+                for row, i in enumerate(chunk):
+                    futures.append(pool.submit(_write_one, i, coords[row], masks[row]))
+        results = [f.result() for f in futures]
     elapsed = time.perf_counter() - t0
     print(f"packed {len(results)} complexes in {elapsed:.2f}s on {n_devices} "
           f"device(s) ({elapsed / max(len(results), 1):.3f}s each)")

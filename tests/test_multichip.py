@@ -104,6 +104,23 @@ def test_directory_pack_honors_proximal_and_n_samples(crop_dir, tmp_path):
     assert summary["use_proximal"] is True
     assert summary["n_samples"] == 2
     assert summary["n_devices"] == 8
+
+
+def test_directory_pack_metrics_on_thread_pool(crop_dir, tmp_path):
+    """--metrics in directory mode computes the per-structure chi/clash
+    suite on the overlapped host pool and records it in summary.json."""
+    import json
+
+    from packppi_tpu.cli.pack import run_directory
+
+    out = tmp_path / "metrics"
+    results = run_directory(_dir_args(crop_dir, out, n_devices=1, metrics=True))
+    assert len(results) == 4
+    summary = json.loads((out / "summary.json").read_text())
+    for rec in summary["results"]:
+        m = rec["metrics"]
+        assert "chi_1_acc" in m and "clashscore" in m
+        assert np.isfinite(m["chi_1_acc"])
     for r in results:
         assert os.path.exists(r["output"])
 
