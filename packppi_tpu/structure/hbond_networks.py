@@ -25,9 +25,10 @@ This module implements the joint pass:
 4. winners are applied: flip states as coordinate swaps, rotor phases as
    ``rotor_phase_overrides`` for :func:`hydrogens.add_hydrogens`.
 
-Cost = Reduce-style steric score used by the flip pass: serious clashes
-(>= 0.4 A interpenetration) dominate, total overlap breaks ties; polar-H vs
-acceptor contacts are exempt (they score as H-bonds downstream).
+Cost = Reduce-style score shared with the greedy passes: serious clashes
+(>= 0.4 A interpenetration) dominate, total overlap breaks ties, and
+polar-H vs acceptor overlap below the waiver cap is REWARDED (Reduce's
+H-bond term) so clash-equivalent states resolve toward hydrogen bonding.
 """
 from __future__ import annotations
 
@@ -42,13 +43,14 @@ from packppi_tpu.structure.hydrogens import (
     FLIP_GROUPS,
     H_BOND_LENGTH,
     H_SPEC,
+    HBOND_OVERLAP_CAP,
+    HBOND_REWARD_WEIGHT,
+    SERIOUS_OVERLAP as SERIOUS,
     _rotor_phases,
     flip_group_hydrogens,
     heavy_graph,
     is_hbond_acceptor,
 )
-
-SERIOUS = 0.4
 
 
 class Probes(NamedTuple):
@@ -70,23 +72,23 @@ class Group:
     exclude_flat: set           # static heavy atoms this group never scores
 
 
-HBOND_OVERLAP_CAP = 0.8  # must match utils.metrics.probe_clashscore's waiver
-
-
 def _probe_cost(a: Probes, b: Probes) -> float:
-    """Summed steric cost between two probe sets with H-bond exemption.
+    """Summed steric cost between two probe sets with H-bond handling.
 
-    The exemption is capped exactly like the final clashscore's waiver
-    (polar-H/acceptor overlap counts again beyond ``HBOND_OVERLAP_CAP``) —
-    an uncapped exemption here would let the optimizer prefer states the
-    metric then scores as clashes."""
+    Polar-H/acceptor overlap below the waiver cap is an H-bond: REWARDED at
+    ``HBOND_REWARD_WEIGHT`` (Reduce's +4 H-bond vs -10 clash dot weights)
+    and zeroed from the clash terms. Beyond the cap it counts as a clash
+    again, exactly like the final clashscore's waiver — an uncapped
+    exemption here would let the optimizer prefer states the metric then
+    scores as clashes."""
     d = np.linalg.norm(a.pos[:, None] - b.pos[None], axis=-1)
     overlap = np.clip((a.radius[:, None] + b.radius[None]) - d, 0.0, None)
     exempt = ((a.polar_h[:, None] & b.acceptor[None]) |
               (b.polar_h[None] & a.acceptor[:, None])) & \
              (overlap < HBOND_OVERLAP_CAP)
+    reward = HBOND_REWARD_WEIGHT * np.where(exempt, overlap, 0.0).sum()
     overlap = np.where(exempt, 0.0, overlap)
-    return float(1000.0 * (overlap >= SERIOUS).sum() + overlap.sum())
+    return float(1000.0 * (overlap >= SERIOUS).sum() + overlap.sum() - reward)
 
 
 def _movable_groups(prot, graph, n_phases: int) -> list[Group]:

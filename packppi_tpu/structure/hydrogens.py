@@ -249,13 +249,24 @@ def heavy_graph(prot):
 
 # Reduce's amide/imidazole flips: terminal groups whose X-ray density is
 # ambiguous. Swapping the two listed atom14 slots flips the group; the
-# orientation with less steric overlap is kept (Reduce also scores
-# H-bonds; clash cost alone captures the cases that matter for clashscore).
+# orientation with the better Reduce-style score is kept.
 FLIP_GROUPS = {
     "ASN": [("OD1", "ND2")],
     "GLN": [("OE1", "NE2")],
     "HIS": [("ND1", "CD2"), ("CE1", "NE2")],  # chi2 ring flip: both pairs swap
 }
+
+# Reduce scores orientations with Probe dot weights: clash -10, H-bond +4
+# (Word et al. 1999, J Mol Biol 285:1735, the program MolProbity runs
+# internally). Our overlap-sum analog keeps serious clashes dominant
+# (1000/count), penalizes mild overlap at weight 1, and REWARDS polar-H vs
+# acceptor overlap at the same 4:10 ratio — so among clash-equivalent
+# orientations the H-bond-forming one wins. The reward (like the final
+# count's waiver) applies only below HBOND_OVERLAP_CAP; deeper
+# interpenetration at a donor/acceptor contact scores as a clash again.
+HBOND_REWARD_WEIGHT = 0.4
+HBOND_OVERLAP_CAP = 0.8   # must match utils.metrics.probe_clashscore's waiver
+SERIOUS_OVERLAP = 0.4     # MolProbity clashscore threshold, Angstrom
 
 
 def encode_bond_sep(sep: dict, n: int):
@@ -361,10 +372,11 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
     _group_hydrogens = flip_group_hydrogens
 
     def cost(i, rn, group_slots, positions, pos_of):
-        """Overlap of the group's atoms + their hydrogens vs heavy atoms of
-        OTHER residues; polar-H-vs-acceptor contacts are exempt (they score
-        as H-bonds in the final Probe count — penalizing them here would
-        flip groups AWAY from hydrogen bonds)."""
+        """Reduce-style score of the group's atoms + their hydrogens vs heavy
+        atoms of OTHER residues: serious clashes dominate, mild overlap
+        breaks ties, and polar-H-vs-acceptor overlap below the waiver cap is
+        REWARDED (it scores as an H-bond in the final Probe count — see the
+        HBOND_REWARD_WEIGHT note)."""
         probes = [(p, PROBE_RADII.get(ATOM14_NAMES[rn][s][0], 1.7), False)
                   for s, p in zip(group_slots, positions)]
         probes += [(h, PROBE_H_POLAR_RADIUS if polar_h else PROBE_H_RADIUS, polar_h)
@@ -374,17 +386,19 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
             na = near(p)
             if not len(na):
                 continue
-            keep = res_idx[na] != i  # own residue is bonded context
-            if polar_h:
-                keep &= ~acc[na]
-            other = na[keep]
+            other = na[res_idx[na] != i]  # own residue is bonded context
             if not len(other):
                 continue
             gap = np.linalg.norm(coords[other] - p, axis=-1) - (radii[other] + r_self)
             overlap = np.clip(-gap, 0, None)
+            if polar_h:
+                hb = acc[other] & (overlap < HBOND_OVERLAP_CAP)
+                total -= HBOND_REWARD_WEIGHT * float(overlap[hb].sum())
+                overlap = np.where(hb, 0.0, overlap)
             # primary objective = serious clashes (what the final count
             # thresholds at 0.4 A); total overlap only breaks ties
-            total += 1000.0 * float((overlap >= 0.4).sum()) + float(overlap.sum())
+            total += (1000.0 * float((overlap >= SERIOUS_OVERLAP).sum())
+                      + float(overlap.sum()))
         return total
 
     flipped = 0
@@ -580,10 +594,7 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
         bsep = lookup_bond_sep(sep_keys, sep_vals,
                                np.minimum(cand, parent_flat),
                                np.maximum(cand, parent_flat), n_heavy)
-        mask = (cand != parent_flat) & (bsep > 2)
-        if is_polar:
-            mask &= ~acceptor[cand]
-        keep = cand[mask]
+        keep = cand[(cand != parent_flat) & (bsep > 2)]
         if len(keep) == 0:
             continue
         kc = coords[keep]
@@ -594,7 +605,19 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
         hs = _rotor_phases(x, parent_xyz, dref, blen, n_h, phases)  # [P, n_h, 3]
         gap = (np.linalg.norm(kc[None, None] - hs[:, :, None], axis=-1)
                - (kr + h_rad))                                      # [P, n_h, K]
-        costs = np.clip(-gap, 0, None).sum(axis=(1, 2))
+        overlap = np.clip(-gap, 0, None)
+        reward = 0.0
+        if is_polar:
+            # polar-H/acceptor overlap below the waiver cap scores as an
+            # H-bond: rewarded (so the OH/SH/NH3+ rotor points INTO
+            # hydrogen bonds), zeroed from the clash terms; beyond the cap
+            # it counts as a clash again (HBOND_REWARD_WEIGHT note above)
+            hb = acceptor[keep][None, None] & (overlap < HBOND_OVERLAP_CAP)
+            reward = (HBOND_REWARD_WEIGHT
+                      * np.where(hb, overlap, 0.0).sum(axis=(1, 2)))
+            overlap = np.where(hb, 0.0, overlap)
+        costs = (1000.0 * (overlap >= SERIOUS_OVERLAP).sum(axis=(1, 2))
+                 + overlap.sum(axis=(1, 2)) - reward)
         # first phase wins ties (improvement must exceed 1e-12, phase 0 default)
         best = 0
         for j in range(1, n_phases):

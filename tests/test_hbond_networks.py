@@ -61,6 +61,30 @@ def _og_hydrogens(prot, overrides=None):
     return hyd["positions"][hyd["parent_slot"] == OG_SLOT]
 
 
+def test_probe_cost_rewards_hbonds():
+    """Polar-H/acceptor overlap below the waiver cap REWARDS the state
+    (negative cost, Reduce's +4 H-bond dot weight); beyond the cap it
+    scores as a clash again."""
+    from packppi_tpu.structure.hbond_networks import Probes, _probe_cost
+
+    def pair(dist):
+        a = Probes(pos=np.array([[0.0, 0, 0]]), radius=np.array([1.0]),
+                   polar_h=np.array([True]), acceptor=np.array([False]))
+        b = Probes(pos=np.array([[dist, 0, 0]]), radius=np.array([1.4]),
+                   polar_h=np.array([False]), acceptor=np.array([True]))
+        return _probe_cost(a, b)
+
+    assert pair(2.1) < 0                    # 0.3 A overlap: H-bond, rewarded
+    assert pair(2.6) == 0                   # no contact
+    assert pair(1.5) > 1000                 # 0.9 A > cap: serious clash
+    # non-acceptor partner at the same 0.3 A overlap: plain clash cost
+    c = Probes(pos=np.array([[2.1, 0, 0]]), radius=np.array([1.4]),
+               polar_h=np.array([False]), acceptor=np.array([False]))
+    a = Probes(pos=np.array([[0.0, 0, 0]]), radius=np.array([1.0]),
+               polar_h=np.array([True]), acceptor=np.array([False]))
+    assert _probe_cost(a, c) > 0
+
+
 def test_joint_beats_greedy_on_facing_hydroxyls(facing_serines):
     """Greedy leaves a serious H-H clash (overlap >= 0.4 A at polar-H radii
     1.05+1.05); the joint solver separates the hydrogens."""

@@ -181,6 +181,43 @@ class TestAmideFlips:
         assert with_flips < without
 
 
+def test_hbond_reward_increases_satisfied_donors(prot, monkeypatch):
+    """The Reduce-style H-bond reward must resolve clash-equivalent flip and
+    rotor states toward hydrogen bonding: on 1brs it strictly increases the
+    number of polar H's within H-bond reach of an acceptor, without making
+    the clashscore worse."""
+    import packppi_tpu.structure.hbond_networks as nmod
+    import packppi_tpu.structure.hydrogens as hmod
+
+    def measure():
+        from scipy.spatial import cKDTree
+
+        from packppi_tpu.chem import RESTYPE_1TO3, RESTYPES
+        from packppi_tpu.structure.hbond_networks import optimize_hbond_networks
+        from packppi_tpu.structure.hydrogens import (
+            add_hydrogens, heavy_graph, is_hbond_acceptor)
+
+        score = probe_clashscore(prot)
+        p2, _, phases, _ = optimize_hbond_networks(prot, graph=heavy_graph(prot))
+        g2 = heavy_graph(p2)
+        hyd = add_hydrogens(p2, optimize_rotors=True, graph=g2,
+                            rotor_phase_overrides=phases)
+        coords, names, res_of, _, _ = g2
+        rn = [RESTYPE_1TO3[RESTYPES[p2.aaindex[r]]] for r in res_of]
+        acc = np.asarray([is_hbond_acceptor(a, b) for a, b in zip(rn, names)])
+        tree = cKDTree(np.asarray(coords).reshape(-1, 3)[acc])
+        near = tree.query_ball_point(hyd["positions"][hyd["polar"]], 2.2)
+        return score, sum(1 for n in near if n)
+
+    score_rewarded, hb_rewarded = measure()
+    monkeypatch.setattr(hmod, "HBOND_REWARD_WEIGHT", 0.0)
+    monkeypatch.setattr(nmod, "HBOND_REWARD_WEIGHT", 0.0)
+    score_plain, hb_plain = measure()
+
+    assert hb_rewarded > hb_plain            # 172 vs 170 on 1brs
+    assert score_rewarded <= score_plain + 1e-9
+
+
 def test_residue_aware_acceptors():
     """GLN's amide NE2 and (NE2-H tautomer) HIS NE2 are donors, not
     acceptors, despite the name appearing in the acceptor list; HIS ND1
