@@ -33,7 +33,6 @@ H-bond term) so clash-equivalent states resolve toward hydrogen bonding.
 from __future__ import annotations
 
 import dataclasses
-import itertools
 from typing import NamedTuple
 
 import numpy as np
@@ -89,6 +88,26 @@ def _probe_cost(a: Probes, b: Probes) -> float:
     reward = HBOND_REWARD_WEIGHT * np.where(exempt, overlap, 0.0).sum()
     overlap = np.where(exempt, 0.0, overlap)
     return float(1000.0 * (overlap >= SERIOUS).sum() + overlap.sum() - reward)
+
+
+def _pair_table(ga: "Group", gb: "Group") -> np.ndarray:
+    """[S, T] ``_probe_cost`` table over two groups' state grids in ONE
+    broadcast evaluation (states of a group share atoms — only positions
+    differ — so flags/radii stack from state 0). The per-state-pair Python
+    calls this replaces were the hot path of the whole clashscore
+    (5.4k tiny-array calls on T1124; see PERF.md host-path section)."""
+    pa = np.stack([s.pos for s in ga.states])            # [S, na, 3]
+    pb = np.stack([s.pos for s in gb.states])            # [T, nb, 3]
+    ra, rb = ga.states[0].radius, gb.states[0].radius
+    d = np.linalg.norm(pa[:, None, :, None] - pb[None, :, None, :], axis=-1)
+    overlap = np.clip((ra[:, None] + rb[None]) - d, 0.0, None)   # [S,T,na,nb]
+    exempt = ((ga.states[0].polar_h[:, None] & gb.states[0].acceptor[None]) |
+              (gb.states[0].polar_h[None] & ga.states[0].acceptor[:, None]))
+    hb = exempt[None, None] & (overlap < HBOND_OVERLAP_CAP)
+    reward = HBOND_REWARD_WEIGHT * np.where(hb, overlap, 0.0).sum(axis=(2, 3))
+    overlap = np.where(hb, 0.0, overlap)
+    return (1000.0 * (overlap >= SERIOUS).sum(axis=(2, 3))
+            + overlap.sum(axis=(2, 3)) - reward)
 
 
 def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
@@ -221,19 +240,31 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
                     flip_movable.add(fi)
     tree = cKDTree(coords)
 
-    def unary(g: Group, s: int) -> float:
-        p = g.states[s]
-        cand = sorted({j for row in tree.query_ball_point(p.pos, cutoff)
+    def unary_all(g: Group) -> np.ndarray:
+        """[S] unary costs for every state in one broadcast evaluation.
+        The environment is the union of all states' neighborhoods — atoms
+        outside a particular state's reach contribute 0 overlap, so this
+        equals the per-state query."""
+        allpos = np.concatenate([s.pos for s in g.states], 0)
+        cand = sorted({j for row in tree.query_ball_point(allpos, cutoff)
                        for j in row})
         cand = [j for j in cand if j not in g.exclude_flat
                 and j not in flip_movable
                 and (g.kind == "rotor" or res_idx[j] != g.res)]
+        S = len(g.states)
         if not cand:
-            return 0.0
+            return np.zeros(S)
         ca = np.asarray(cand, np.int64)
-        env = Probes(pos=coords[ca], radius=radii[ca],
-                     polar_h=np.zeros(len(ca), bool), acceptor=acceptor[ca])
-        return _probe_cost(p, env)
+        pa = np.stack([s.pos for s in g.states])              # [S, n, 3]
+        d = np.linalg.norm(pa[:, :, None] - coords[ca][None, None], axis=-1)
+        overlap = np.clip((g.states[0].radius[:, None] + radii[ca][None]) - d,
+                          0.0, None)                          # [S, n, K]
+        hb = (g.states[0].polar_h[:, None] & acceptor[ca][None])[None] & \
+            (overlap < HBOND_OVERLAP_CAP)
+        reward = HBOND_REWARD_WEIGHT * np.where(hb, overlap, 0.0).sum(axis=(1, 2))
+        overlap = np.where(hb, 0.0, overlap)
+        return (1000.0 * (overlap >= SERIOUS).sum(axis=(1, 2))
+                + overlap.sum(axis=(1, 2)) - reward)
 
     # interaction edges: any-state probe clouds within reach
     clouds = [np.concatenate([s.pos for s in g.states], 0) for g in groups]
@@ -268,8 +299,7 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
     info = {"components": []}
     for comp in components:
         for gi in comp:
-            unaries[gi] = np.asarray([unary(groups[gi], s)
-                                      for s in range(len(groups[gi].states))])
+            unaries[gi] = unary_all(groups[gi])
         if len(comp) == 1:
             gi = comp[0]
             # singleton rotors keep the greedy path (scored identically
@@ -282,20 +312,8 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
         pair_tab = {}
         for ai, a in enumerate(comp):
             for b in comp[ai + 1:]:
-                if b not in edges[a]:
-                    continue
-                tab = np.zeros((len(groups[a].states), len(groups[b].states)))
-                for s in range(tab.shape[0]):
-                    for t in range(tab.shape[1]):
-                        tab[s, t] = _probe_cost(groups[a].states[s],
-                                                groups[b].states[t])
-                pair_tab[(a, b)] = tab
-
-        def total(assign):
-            c = sum(unaries[g][assign[g]] for g in comp)
-            for (a, b), tab in pair_tab.items():
-                c += tab[assign[a], assign[b]]
-            return c
+                if b in edges[a]:
+                    pair_tab[(a, b)] = _pair_table(groups[a], groups[b])
 
         # capped product: np.prod wraps int64 for ~19+ twelve-state groups,
         # which could misroute a huge component into exact enumeration
@@ -305,13 +323,23 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
             if n_states > max_enum:
                 break
         if n_states <= max_enum:
-            best, best_cost = None, np.inf
-            for combo in itertools.product(*[range(len(groups[g].states))
-                                             for g in comp]):
-                assign = dict(zip(comp, combo))
-                c = total(assign)
-                if c < best_cost - 1e-12:
-                    best, best_cost = assign, c
+            # exact enumeration as ONE broadcast tensor over the joint state
+            # grid (axis per group): unaries and pair tables reshape onto
+            # their axes; argmin (C order) picks the same first-minimum the
+            # itertools.product scan did
+            axes = {g: ax for ax, g in enumerate(comp)}
+            shape = [len(groups[g].states) for g in comp]
+            joint = np.zeros(shape)
+            for g in comp:
+                sh = [1] * len(comp)
+                sh[axes[g]] = shape[axes[g]]
+                joint += unaries[g].reshape(sh)
+            for (a, b), tab in pair_tab.items():
+                sh = [1] * len(comp)
+                sh[axes[a]], sh[axes[b]] = tab.shape
+                joint += tab.reshape(sh)
+            combo = np.unravel_index(int(np.argmin(joint)), joint.shape)
+            best = {g: int(combo[axes[g]]) for g in comp}
             mode = "enumerated"
         else:
             best = {g: int(np.argmin(unaries[g])) for g in comp}

@@ -85,6 +85,24 @@ def test_probe_cost_rewards_hbonds():
     assert _probe_cost(a, c) > 0
 
 
+def test_pair_table_matches_scalar_probe_cost():
+    """The broadcast [S, T] pair table equals the per-state-pair scalar
+    _probe_cost (its oracle) exactly, on real movable groups from 1brs."""
+    import packppi_tpu.structure.hbond_networks as nmod
+    from packppi_tpu.structure.hydrogens import heavy_graph
+
+    prot = from_pdb_file(os.path.join(FIXTURES, "1brs.pdb"), mse_to_met=True)
+    groups = nmod._movable_groups(prot, heavy_graph(prot), 12)
+    flips = [g for g in groups if g.kind == "flip"]
+    rotors = [g for g in groups if g.kind == "rotor"]
+    for ga, gb in [(flips[0], flips[1]), (flips[0], rotors[0]),
+                   (rotors[0], rotors[1])]:
+        tab = nmod._pair_table(ga, gb)
+        ref = np.array([[nmod._probe_cost(sa, sb) for sb in gb.states]
+                        for sa in ga.states])
+        np.testing.assert_array_equal(tab, ref)
+
+
 def test_joint_beats_greedy_on_facing_hydroxyls(facing_serines):
     """Greedy leaves a serious H-H clash (overlap >= 0.4 A at polar-H radii
     1.05+1.05); the joint solver separates the hydrogens."""
