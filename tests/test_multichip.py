@@ -106,6 +106,37 @@ def test_directory_pack_honors_proximal_and_n_samples(crop_dir, tmp_path):
     assert summary["n_devices"] == 8
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_directory_prox_multichip_matches_single_device(crop_dir, tmp_path):
+    """packppi-prox directory mode (new in r3; the reference CLI asserts
+    batch size 1) shards structures over the mesh and writes byte-identical
+    PDBs to a single-device run."""
+    import argparse
+
+    from packppi_tpu.cli.prox import run_directory
+
+    def prox_args(outdir, **kw):
+        base = dict(input=str(crop_dir), outdir=str(outdir), num_steps=3,
+                    platform=None, lamda=1.0, violation_tolerance_factor=12.0,
+                    clash_overlap_tolerance=0.5, molprobity_loc=None,
+                    exact_length=False, batch_size=1, n_devices=None,
+                    no_clashscore=True)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    run_directory(prox_args(tmp_path / "multi", n_devices=8))
+    run_directory(prox_args(tmp_path / "single", n_devices=1, batch_size=8))
+
+    import json
+    summary = json.loads((tmp_path / "multi" / "summary.json").read_text())
+    assert summary["n"] == 4 and summary["n_devices"] == 8
+    for rec in summary["results"]:
+        assert np.isfinite(rec["objective_initial"])
+    for f in sorted((tmp_path / "multi").glob("*.pdb")):
+        assert f.read_text() == (tmp_path / "single" / f.name).read_text(), \
+            f"{f.name} differs between 8 and 1 devices"
+
+
 def test_directory_pack_metrics_on_thread_pool(crop_dir, tmp_path):
     """--metrics in directory mode computes the per-structure chi/clash
     suite on the overlapped host pool and records it in summary.json."""
