@@ -221,11 +221,12 @@ def run_directory(args) -> list:
     if not pdbs:
         raise SystemExit(f"no PDBs in {args.input}")
 
-    proteins, feats = [], []
-    for p in pdbs:
-        prot = from_pdb_file(p, mse_to_met=True)
-        proteins.append((p, prot))
-        feats.append(featurize(prot))
+    from concurrent.futures import ThreadPoolExecutor as _TP
+
+    with _TP(max_workers=8) as tp:   # numpy parse+featurize release the GIL
+        parsed = list(tp.map(lambda p: from_pdb_file(p, mse_to_met=True), pdbs))
+        feats = list(tp.map(featurize, parsed))
+    proteins = list(zip(pdbs, parsed))
 
     n_samples = max(1, getattr(args, "n_samples", 1))
     n_devices = getattr(args, "n_devices", None) or jax.device_count()

@@ -149,10 +149,13 @@ def run_directory(args) -> list:
     if not pdbs:
         raise SystemExit(f"no PDBs in {args.input}")
 
+    from concurrent.futures import ThreadPoolExecutor as _TP
+
+    with _TP(max_workers=8) as tp:   # numpy parse+featurize release the GIL
+        parsed = list(tp.map(lambda p: from_pdb_file(p, mse_to_met=True), pdbs))
+        all_feats = list(tp.map(featurize, parsed))
     proteins, feats, skipped = [], [], []
-    for p in pdbs:
-        prot = from_pdb_file(p, mse_to_met=True)
-        f = featurize(prot)
+    for p, prot, f in zip(pdbs, parsed, all_feats):
         if f["SC_D_mask"].sum() == 0:
             skipped.append(str(p))
             continue
