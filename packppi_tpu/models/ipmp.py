@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from packppi_tpu.geometry.rigid import bb_frames_from_atom14, scale_translation
 from packppi_tpu.models.layers import MLP
-from packppi_tpu.ops.graph import gather_nodes, gather_nodes_onehot
+from packppi_tpu.ops.graph import gather_nodes
 
 
 def _norm(v, eps=1e-8):

@@ -357,6 +357,8 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
     params = model.net.init(key, None, None, wt0, mt0, None)
     optimizer = optax.adamw(cfg.trainer.lr, weight_decay=cfg.trainer.weight_decay)
     opt_state = optimizer.init(params)
+    ema_decay = float(cfg.trainer.get("ema_decay", 0.0) or 0.0)
+    ema = jax.tree.map(jnp.array, params) if ema_decay > 0.0 else None
 
     def _train_step(params, opt_state, wt, mt, ddg):
         loss, grads = jax.value_and_grad(model.loss_esm)(params, wt, mt, ddg)
@@ -382,6 +384,8 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
         rep, rows = replicated(mesh), batch_sharding(mesh)
         params = jax.device_put(params, rep)
         opt_state = jax.device_put(opt_state, rep)
+        if ema is not None:
+            ema = jax.device_put(ema, rep)
         put = lambda *xs: tuple(jax.device_put(x, rows) for x in xs)
         train_step = jax.jit(_train_step, in_shardings=(rep, rep, rows, rows, rows),
                              out_shardings=(rep, rep, rep))
@@ -404,6 +408,10 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
             yield (*put(jnp.asarray(wt), jnp.asarray(mt), jnp.asarray(ddg)),
                    put(jnp.asarray(w))[0])
 
+    from packppi_tpu.train.diffusion_task import make_ema_update
+    ema_step = (jax.jit(make_ema_update(ema_decay), donate_argnums=(0,))
+                if ema is not None else None)
+
     ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
     best_val, step = float("inf"), 0
     for epoch in range(cfg.trainer.max_epochs):
@@ -412,16 +420,20 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
                                         cfg.seed + epoch):
             params, opt_state, loss = train_step(
                 params, opt_state, *put(wt, mt, ddg))
+            if ema is not None:
+                ema = ema_step(ema, params)
             losses.append(loss)
             step += 1
-        vlosses = [eval_loss(params, wt, mt, ddg, w)
+        eval_params = ema if ema is not None else params
+        vlosses = [eval_loss(eval_params, wt, mt, ddg, w)
                    for wt, mt, ddg, w in eval_batches(splits["valid"])]
         train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
         val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
         best_val = min(best_val, val_loss)
         metrics_log.log(step, {"train/loss": train_loss, "val/loss": val_loss})
         log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
-        ckpt_mgr.save(step, params, metric=val_loss if np.isfinite(val_loss) else None)
+        ckpt_mgr.save(step, params, metric=val_loss if np.isfinite(val_loss) else None,
+                      ema=ema)
     metrics_log.close()
     return {"best_val_loss": best_val, "best_ckpt": ckpt_mgr.best()}
 
@@ -513,6 +525,9 @@ def train_affinity(cfg) -> dict:
                             weight_decay=cfg.trainer.weight_decay)
     opt_state = optimizer.init(params)
     step = 0
+    ema_decay = float(cfg.trainer.get("ema_decay", 0.0) or 0.0)
+    # jnp.array COPIES (ema_step donates; must not alias params)
+    ema = jax.tree.map(jnp.array, params) if ema_decay > 0.0 else None
 
     def _train_step(params, opt_state, key, batch):
         loss, grads = jax.value_and_grad(
@@ -533,6 +548,8 @@ def train_affinity(cfg) -> dict:
         b_shard = jax.tree.map(lambda _: batch_sharding(mesh), init_batch)
         params = jax.device_put(params, rep)
         opt_state = jax.device_put(opt_state, rep)
+        if ema is not None:
+            ema = jax.device_put(ema, rep)
         put_batch = lambda b: jax.device_put(b, b_shard)
         train_step = jax.jit(_train_step,
                              in_shardings=(rep, rep, rep, b_shard),
@@ -547,6 +564,10 @@ def train_affinity(cfg) -> dict:
         eval_step = jax.jit(lambda p, k, b: model.loss(p, backbone_params, k, b))
         predict = jax.jit(lambda p, b: model.predict(p, backbone_params, b)[0])
 
+    from packppi_tpu.train.diffusion_task import make_ema_update
+    ema_step = (jax.jit(make_ema_update(ema_decay), donate_argnums=(0,))
+                if ema is not None else None)
+
     ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
     best_val = float("inf")
     for epoch in range(cfg.trainer.max_epochs):
@@ -554,16 +575,21 @@ def train_affinity(cfg) -> dict:
         for batch in loaders["train"]:
             key, k = jax.random.split(key)
             params, opt_state, loss = train_step(params, opt_state, k, put_batch(batch))
+            if ema is not None:
+                ema = ema_step(ema, params)
             losses.append(loss)
             step += 1
         train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
 
+        # with EMA active, validation/metrics/checkpoint selection evaluate
+        # the EMA weights (what inference will use)
+        eval_params = ema if ema is not None else params
         vlosses, preds, labels = [], [], []
         for batch in loaders["val"]:
             key, k = jax.random.split(key)
             sb = put_batch(batch)
-            vlosses.append(eval_step(params, k, sb))
-            preds.append(np.asarray(predict(params, sb)))
+            vlosses.append(eval_step(eval_params, k, sb))
+            preds.append(np.asarray(predict(eval_params, sb)))
             labels.append(np.asarray(batch.ddg))
         val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
         best_val = min(best_val, val_loss)
@@ -579,7 +605,8 @@ def train_affinity(cfg) -> dict:
             extras["val/rmse"] = float(np.sqrt(np.mean((p - y) ** 2)))
         metrics_log.log(step, {"train/loss": train_loss, "val/loss": val_loss, **extras})
         log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} {extras}")
-        ckpt_mgr.save(step, params, metric=val_loss if np.isfinite(val_loss) else None)
+        ckpt_mgr.save(step, params, metric=val_loss if np.isfinite(val_loss) else None,
+                      ema=ema)
 
     metrics_log.close()
     return {"best_val_loss": best_val, "best_ckpt": ckpt_mgr.best()}

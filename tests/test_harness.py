@@ -197,6 +197,36 @@ def test_train_diffusion_ema_end_to_end(tmp_path):
         max(int(p.name.split("_")[1]) for p in emas)
 
 
+def test_train_affinity_ema_sidecars(tmp_path):
+    """trainer.ema_decay>0 in the affinity loop writes _ema sidecars and
+    evaluates the EMA weights."""
+    import pandas as pd
+
+    from packppi_tpu.train.loop import train_affinity
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "skempi_mini")
+    data_dir = tmp_path / "skempi"
+    (data_dir / "PDBs").mkdir(parents=True)
+    df = pd.read_csv(os.path.join(fix, "skempi_v2.csv"), sep=";")
+    pdbcode = df["#Pdb"].str.split("_").str[0]
+    pd.concat([df[pdbcode == "1BRS"].head(3),
+               df[pdbcode == "2FTL"].head(3)]).to_csv(
+        data_dir / "skempi_v2.csv", sep=";", index=False)
+    for n in ("1BRS", "2FTL"):
+        (data_dir / "PDBs" / f"{n}.pdb").symlink_to(
+            os.path.join(fix, "PDBs", f"{n}.pdb"))
+
+    out = tmp_path / "out"
+    cfg = load_config(os.path.join(CONFIG_DIR, "train_affinity.yaml"), [
+        f"output_dir={out}", f"data.data_dir={data_dir}",
+        "data.num_cvfolds=2", "data.batch_size=2", "trainer.n_devices=1",
+        "trainer.max_epochs=1", "trainer.ema_decay=0.5", "seed=0",
+    ])
+    result = train_affinity(cfg)
+    assert np.isfinite(result["best_val_loss"])
+    assert list((out / "checkpoints").glob("step_*_ema")), "no EMA sidecars"
+
+
 def test_train_step_skips_nonfinite_loss():
     """A NaN loss must leave params untouched (on-device skip)."""
     import jax
