@@ -355,10 +355,17 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
     key = jax.random.key(cfg.seed)
     wt0, mt0, _ = next(make_batches(splits["train"], 1, False, 0))
     params = model.net.init(key, None, None, wt0, mt0, None)
+    resume = cfg.get("ckpt_path")
+    if resume:
+        # params-level resume (reference: ckpt_path in src/train_affinity.py)
+        log.info(f"resuming params from {resume}")
+        params = load_params(resume, jax.eval_shape(lambda: params))
     optimizer = optax.adamw(cfg.trainer.lr, weight_decay=cfg.trainer.weight_decay)
     opt_state = optimizer.init(params)
     ema_decay = float(cfg.trainer.get("ema_decay", 0.0) or 0.0)
     ema = jax.tree.map(jnp.array, params) if ema_decay > 0.0 else None
+    if ema is not None and resume and Path(f"{resume}_ema").exists():
+        ema = load_params(f"{resume}_ema", jax.eval_shape(lambda: ema))
 
     def _train_step(params, opt_state, wt, mt, ddg):
         loss, grads = jax.value_and_grad(model.loss_esm)(params, wt, mt, ddg)
@@ -521,6 +528,11 @@ def train_affinity(cfg) -> dict:
     save_params(out / "backbone", backbone_params)
 
     params = model.init(kn, init_batch, backbone_params)
+    resume = cfg.get("ckpt_path")
+    if resume:
+        # params-level resume (reference: ckpt_path in src/train_affinity.py)
+        log.info(f"resuming params from {resume}")
+        params = load_params(resume, jax.eval_shape(lambda: params))
     optimizer = optax.adamw(make_lr(cfg.trainer, len(loaders["train"])),
                             weight_decay=cfg.trainer.weight_decay)
     opt_state = optimizer.init(params)
@@ -528,6 +540,8 @@ def train_affinity(cfg) -> dict:
     ema_decay = float(cfg.trainer.get("ema_decay", 0.0) or 0.0)
     # jnp.array COPIES (ema_step donates; must not alias params)
     ema = jax.tree.map(jnp.array, params) if ema_decay > 0.0 else None
+    if ema is not None and resume and Path(f"{resume}_ema").exists():
+        ema = load_params(f"{resume}_ema", jax.eval_shape(lambda: ema))
 
     def _train_step(params, opt_state, key, batch):
         loss, grads = jax.value_and_grad(

@@ -226,6 +226,19 @@ def test_train_affinity_ema_sidecars(tmp_path):
     assert np.isfinite(result["best_val_loss"])
     assert list((out / "checkpoints").glob("step_*_ema")), "no EMA sidecars"
 
+    # params-level resume: a second run seeded from the best checkpoint
+    # must pick up both the params and the EMA sidecar and train on
+    out2 = tmp_path / "out2"
+    cfg2 = load_config(os.path.join(CONFIG_DIR, "train_affinity.yaml"), [
+        f"output_dir={out2}", f"data.data_dir={data_dir}",
+        "data.num_cvfolds=2", "data.batch_size=2", "trainer.n_devices=1",
+        "trainer.max_epochs=1", "trainer.ema_decay=0.5", "seed=1",
+        f"ckpt_path={result['best_ckpt']}",
+    ])
+    result2 = train_affinity(cfg2)
+    assert np.isfinite(result2["best_val_loss"])
+    assert list((out2 / "checkpoints").glob("step_*_ema"))
+
 
 def test_train_step_skips_nonfinite_loss():
     """A NaN loss must leave params untouched (on-device skip)."""
