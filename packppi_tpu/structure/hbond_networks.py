@@ -49,6 +49,7 @@ from packppi_tpu.structure.hydrogens import (
     flip_group_hydrogens,
     heavy_graph,
     is_hbond_acceptor,
+    probe_spike_measure,
 )
 
 
@@ -74,6 +75,9 @@ class Group:
 def _probe_cost(a: Probes, b: Probes) -> float:
     """Summed steric cost between two probe sets with H-bond handling.
 
+    Overlapping pairs score the Probe spike measure
+    (:func:`~packppi_tpu.structure.hydrogens.probe_spike_measure`, the
+    analytic dot-density limit of Probe's per-dot penetration scoring).
     Polar-H/acceptor overlap below the waiver cap is an H-bond: REWARDED at
     ``HBOND_REWARD_WEIGHT`` (Reduce's +4 H-bond vs -10 clash dot weights)
     and zeroed from the clash terms. Beyond the cap it counts as a clash
@@ -82,12 +86,14 @@ def _probe_cost(a: Probes, b: Probes) -> float:
     scores as clashes."""
     d = np.linalg.norm(a.pos[:, None] - b.pos[None], axis=-1)
     overlap = np.clip((a.radius[:, None] + b.radius[None]) - d, 0.0, None)
+    spike = probe_spike_measure(a.radius[:, None], b.radius[None], d)
     exempt = ((a.polar_h[:, None] & b.acceptor[None]) |
               (b.polar_h[None] & a.acceptor[:, None])) & \
              (overlap < HBOND_OVERLAP_CAP)
-    reward = HBOND_REWARD_WEIGHT * np.where(exempt, overlap, 0.0).sum()
+    reward = HBOND_REWARD_WEIGHT * np.where(exempt, spike, 0.0).sum()
     overlap = np.where(exempt, 0.0, overlap)
-    return float(1000.0 * (overlap >= SERIOUS).sum() + overlap.sum() - reward)
+    spike = np.where(exempt, 0.0, spike)
+    return float(1000.0 * (overlap >= SERIOUS).sum() + spike.sum() - reward)
 
 
 def _pair_table(ga: "Group", gb: "Group") -> np.ndarray:
@@ -101,13 +107,15 @@ def _pair_table(ga: "Group", gb: "Group") -> np.ndarray:
     ra, rb = ga.states[0].radius, gb.states[0].radius
     d = np.linalg.norm(pa[:, None, :, None] - pb[None, :, None, :], axis=-1)
     overlap = np.clip((ra[:, None] + rb[None]) - d, 0.0, None)   # [S,T,na,nb]
+    spike = probe_spike_measure(ra[:, None], rb[None], d)
     exempt = ((ga.states[0].polar_h[:, None] & gb.states[0].acceptor[None]) |
               (gb.states[0].polar_h[None] & ga.states[0].acceptor[:, None]))
     hb = exempt[None, None] & (overlap < HBOND_OVERLAP_CAP)
-    reward = HBOND_REWARD_WEIGHT * np.where(hb, overlap, 0.0).sum(axis=(2, 3))
+    reward = HBOND_REWARD_WEIGHT * np.where(hb, spike, 0.0).sum(axis=(2, 3))
     overlap = np.where(hb, 0.0, overlap)
+    spike = np.where(hb, 0.0, spike)
     return (1000.0 * (overlap >= SERIOUS).sum(axis=(2, 3))
-            + overlap.sum(axis=(2, 3)) - reward)
+            + spike.sum(axis=(2, 3)) - reward)
 
 
 def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
@@ -259,12 +267,15 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
         d = np.linalg.norm(pa[:, :, None] - coords[ca][None, None], axis=-1)
         overlap = np.clip((g.states[0].radius[:, None] + radii[ca][None]) - d,
                           0.0, None)                          # [S, n, K]
+        spike = probe_spike_measure(g.states[0].radius[:, None],
+                                    radii[ca][None], d)
         hb = (g.states[0].polar_h[:, None] & acceptor[ca][None])[None] & \
             (overlap < HBOND_OVERLAP_CAP)
-        reward = HBOND_REWARD_WEIGHT * np.where(hb, overlap, 0.0).sum(axis=(1, 2))
+        reward = HBOND_REWARD_WEIGHT * np.where(hb, spike, 0.0).sum(axis=(1, 2))
         overlap = np.where(hb, 0.0, overlap)
+        spike = np.where(hb, 0.0, spike)
         return (1000.0 * (overlap >= SERIOUS).sum(axis=(1, 2))
-                + overlap.sum(axis=(1, 2)) - reward)
+                + spike.sum(axis=(1, 2)) - reward)
 
     # interaction edges: any-state probe clouds within reach
     clouds = [np.concatenate([s.pos for s in g.states], 0) for g in groups]

@@ -258,15 +258,62 @@ FLIP_GROUPS = {
 
 # Reduce scores orientations with Probe dot weights: clash -10, H-bond +4
 # (Word et al. 1999, J Mol Biol 285:1735, the program MolProbity runs
-# internally). Our overlap-sum analog keeps serious clashes dominant
-# (1000/count), penalizes mild overlap at weight 1, and REWARDS polar-H vs
-# acceptor overlap at the same 4:10 ratio — so among clash-equivalent
-# orientations the H-bond-forming one wins. The reward (like the final
-# count's waiver) applies only below HBOND_OVERLAP_CAP; deeper
-# interpenetration at a donor/acceptor contact scores as a clash again.
+# internally). Our analog keeps serious clashes dominant (1000/count),
+# scores mild overlap with the ANALYTIC PROBE SPIKE MEASURE
+# (``probe_spike_measure`` below — the closed-form infinite-density limit
+# of Probe's per-dot penetration sum, geometry-dependent rather than
+# linear in overlap), and REWARDS polar-H vs acceptor contact at the same
+# 4:10 ratio on the same measure — so among clash-equivalent orientations
+# the H-bond-forming one wins. The reward (like the final count's waiver)
+# applies only below HBOND_OVERLAP_CAP; deeper interpenetration at a
+# donor/acceptor contact scores as a clash again.
 HBOND_REWARD_WEIGHT = 0.4
 HBOND_OVERLAP_CAP = 0.8   # must match utils.metrics.probe_clashscore's waiver
 SERIOUS_OVERLAP = 0.4     # MolProbity clashscore threshold, Angstrom
+
+
+def spike_integral(ra, rb, d):
+    """One-sided Probe spike measure: the infinite-dot-density limit of
+    Probe's per-dot penetration scoring (Word et al. 1999 — dots on atom A's
+    vdW sphere, each scored by its penetration depth into atom B), per unit
+    dot density.
+
+    For surface dots ``p`` on sphere A (radius ``ra``) and sphere B (radius
+    ``rb``) at center distance ``d``, the dot-sum ``sum_p max(0, rb - |p -
+    c_B|)`` approaches ``density * I`` with the closed form (substituting
+    ``u = cos(theta)`` along the A->B axis)::
+
+        I = 2*pi*ra^2 * [ rb*(1-u0) - (1/(3*ra*d)) * (rb^3 - |d-ra|^3) ]
+        u0 = (ra^2 + d^2 - rb^2) / (2*ra*d)
+
+    which for shallow overlap ``o = ra + rb - d`` simplifies to
+    ``pi*ra*o^2*(rb - 2o/3)/d`` — quadratic in the overlap and scaled by the
+    intersection-cap geometry, unlike a linear overlap term. Vectorized;
+    returns 0 where A's surface does not enter B (including B buried deep
+    inside A), and handles full containment of A in B (every dot
+    penetrates). Units: Angstrom^3 (depth integrated over area).
+    """
+    ra = np.asarray(ra, np.float64)
+    rb = np.asarray(rb, np.float64)
+    d = np.maximum(np.asarray(d, np.float64), 1e-9)
+    smin = np.abs(d - ra)                      # closest A-surface point to c_B
+    u0 = (ra * ra + d * d - rb * rb) / (2.0 * ra * d)
+    ulo = np.clip(u0, -1.0, 1.0)               # ulo=-1: whole sphere penetrates
+    c = ra * ra + d * d
+    b = 2.0 * ra * d
+    top = np.maximum(c - b * ulo, 0.0)          # rb^2, or (d+ra)^2 when clipped
+    I = (2.0 * np.pi * ra * ra * rb * (1.0 - ulo)
+         - (2.0 * np.pi * ra / (3.0 * d)) * (top ** 1.5 - smin ** 3))
+    return np.where(rb > smin, np.maximum(I, 0.0), 0.0)
+
+
+def probe_spike_measure(ra, rb, d):
+    """Symmetric Probe spike measure for an atom pair: dots on BOTH spheres
+    (Probe scores each atom's own dot cloud). Zero when the spheres do not
+    overlap. Replaces the linear ``overlap`` term in orientation scoring —
+    see the HBOND_REWARD_WEIGHT note (the clash:H-bond weight RATIO is
+    unchanged; only the geometry measure both are applied to is)."""
+    return spike_integral(ra, rb, d) + spike_integral(rb, ra, d)
 
 
 def encode_bond_sep(sep: dict, n: int):
@@ -373,8 +420,9 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
 
     def cost(i, rn, group_slots, positions, pos_of):
         """Reduce-style score of the group's atoms + their hydrogens vs heavy
-        atoms of OTHER residues: serious clashes dominate, mild overlap
-        breaks ties, and polar-H-vs-acceptor overlap below the waiver cap is
+        atoms of OTHER residues: serious clashes dominate, the Probe spike
+        measure (``probe_spike_measure``, the analytic dot-density limit)
+        breaks ties, and polar-H-vs-acceptor contact below the waiver cap is
         REWARDED (it scores as an H-bond in the final Probe count — see the
         HBOND_REWARD_WEIGHT note)."""
         probes = [(p, PROBE_RADII.get(ATOM14_NAMES[rn][s][0], 1.7), False)
@@ -389,16 +437,18 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
             other = na[res_idx[na] != i]  # own residue is bonded context
             if not len(other):
                 continue
-            gap = np.linalg.norm(coords[other] - p, axis=-1) - (radii[other] + r_self)
-            overlap = np.clip(-gap, 0, None)
+            dist = np.linalg.norm(coords[other] - p, axis=-1)
+            overlap = np.clip((radii[other] + r_self) - dist, 0, None)
+            spike = probe_spike_measure(r_self, radii[other], dist)
             if polar_h:
                 hb = acc[other] & (overlap < HBOND_OVERLAP_CAP)
-                total -= HBOND_REWARD_WEIGHT * float(overlap[hb].sum())
+                total -= HBOND_REWARD_WEIGHT * float(spike[hb].sum())
                 overlap = np.where(hb, 0.0, overlap)
+                spike = np.where(hb, 0.0, spike)
             # primary objective = serious clashes (what the final count
-            # thresholds at 0.4 A); total overlap only breaks ties
+            # thresholds at 0.4 A); the spike measure only breaks ties
             total += (1000.0 * float((overlap >= SERIOUS_OVERLAP).sum())
-                      + float(overlap.sum()))
+                      + float(spike.sum()))
         return total
 
     flipped = 0
@@ -603,9 +653,9 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
         span = 2 * np.pi / 3 if symmetric else 2 * np.pi
         phases = np.linspace(0, span, n_phases, endpoint=False)
         hs = _rotor_phases(x, parent_xyz, dref, blen, n_h, phases)  # [P, n_h, 3]
-        gap = (np.linalg.norm(kc[None, None] - hs[:, :, None], axis=-1)
-               - (kr + h_rad))                                      # [P, n_h, K]
-        overlap = np.clip(-gap, 0, None)
+        dist = np.linalg.norm(kc[None, None] - hs[:, :, None], axis=-1)
+        overlap = np.clip((kr + h_rad) - dist, 0, None)             # [P, n_h, K]
+        spike = probe_spike_measure(h_rad, kr, dist)
         reward = 0.0
         if is_polar:
             # polar-H/acceptor overlap below the waiver cap scores as an
@@ -614,10 +664,11 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
             # it counts as a clash again (HBOND_REWARD_WEIGHT note above)
             hb = acceptor[keep][None, None] & (overlap < HBOND_OVERLAP_CAP)
             reward = (HBOND_REWARD_WEIGHT
-                      * np.where(hb, overlap, 0.0).sum(axis=(1, 2)))
+                      * np.where(hb, spike, 0.0).sum(axis=(1, 2)))
             overlap = np.where(hb, 0.0, overlap)
+            spike = np.where(hb, 0.0, spike)
         costs = (1000.0 * (overlap >= SERIOUS_OVERLAP).sum(axis=(1, 2))
-                 + overlap.sum(axis=(1, 2)) - reward)
+                 + spike.sum(axis=(1, 2)) - reward)
         # first phase wins ties (improvement must exceed 1e-12, phase 0 default)
         best = 0
         for j in range(1, n_phases):

@@ -229,3 +229,84 @@ def test_residue_aware_acceptors():
     assert is_hbond_acceptor("HIS", "ND1")
     assert is_hbond_acceptor("GLN", "OE1")
     assert is_hbond_acceptor("ALA", "O")
+
+
+class TestSpikeIntegral:
+    """The analytic Probe spike measure vs a brute-force dot oracle.
+
+    Probe (Word et al. 1999) scores atoms by sampling dots on each vdW
+    sphere and summing per-dot penetration into neighbors;
+    ``spike_integral`` is the closed-form infinite-density limit. The
+    oracle samples a Fibonacci sphere at high density and must converge.
+    """
+
+    @staticmethod
+    def _dot_oracle(ra, rb, d, n_dots=200_000):
+        # Fibonacci-sphere dots on A's surface; B on the +z axis
+        i = np.arange(n_dots, dtype=np.float64)
+        phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+        z = 1.0 - 2.0 * (i + 0.5) / n_dots
+        r = np.sqrt(np.clip(1.0 - z * z, 0.0, None))
+        dots = ra * np.stack([r * np.cos(phi), r * np.sin(phi), z], -1)
+        pen = np.clip(rb - np.linalg.norm(dots - np.array([0.0, 0.0, d]), axis=-1), 0.0, None)
+        area_per_dot = 4.0 * np.pi * ra * ra / n_dots
+        return pen.sum() * area_per_dot
+
+    def test_matches_dot_sampling(self):
+        from packppi_tpu.structure.hydrogens import spike_integral
+
+        rng = np.random.default_rng(0)
+        for _ in range(25):
+            ra = rng.uniform(1.0, 1.8)
+            rb = rng.uniform(1.0, 1.8)
+            # from barely touching to substantial overlap
+            d = rng.uniform(0.55 * (ra + rb), 0.999 * (ra + rb))
+            ana = float(spike_integral(ra, rb, d))
+            mc = self._dot_oracle(ra, rb, d)
+            assert ana == pytest.approx(mc, rel=2e-3, abs=1e-4), (ra, rb, d)
+
+    def test_shallow_overlap_closed_form(self):
+        """For shallow overlap o the integral is pi*ra*o^2*(rb - 2o/3)/d."""
+        from packppi_tpu.structure.hydrogens import spike_integral
+
+        ra, rb, d = 1.55, 1.4, 2.65
+        o = ra + rb - d
+        expect = np.pi * ra * o * o * (rb - 2.0 * o / 3.0) / d
+        assert float(spike_integral(ra, rb, d)) == pytest.approx(expect, rel=1e-12)
+
+    def test_zero_without_surface_penetration(self):
+        from packppi_tpu.structure.hydrogens import spike_integral
+
+        assert float(spike_integral(1.5, 1.5, 3.0)) == 0.0      # touching
+        assert float(spike_integral(1.5, 1.5, 4.0)) == 0.0      # separated
+        # B deep inside A, too small to reach A's surface
+        assert float(spike_integral(2.0, 0.3, 0.1)) == 0.0
+
+    def test_full_containment_of_a_in_b(self):
+        """A entirely inside B: every dot penetrates; oracle still agrees."""
+        from packppi_tpu.structure.hydrogens import spike_integral
+
+        ra, rb, d = 0.6, 2.0, 0.5
+        ana = float(spike_integral(ra, rb, d))
+        mc = self._dot_oracle(ra, rb, d)
+        assert ana == pytest.approx(mc, rel=2e-3)
+        assert ana > 0.0
+
+    def test_monotone_in_overlap(self):
+        from packppi_tpu.structure.hydrogens import probe_spike_measure
+
+        ra = rb = 1.55
+        ds = np.linspace(3.10, 2.2, 40)
+        vals = probe_spike_measure(ra, rb, ds)
+        assert vals[0] == 0.0                        # exactly touching
+        assert np.all(np.diff(vals[1:]) > 0.0)       # grows as spheres close
+
+    def test_geometry_dependence_differs_from_linear(self):
+        """Two pairs with the SAME linear overlap but different radii score
+        differently — the property the linear term could not express."""
+        from packppi_tpu.structure.hydrogens import probe_spike_measure
+
+        o = 0.3
+        small = float(probe_spike_measure(1.0, 1.0, 2.0 - o))
+        large = float(probe_spike_measure(1.8, 1.8, 3.6 - o))
+        assert large > small * 1.2
