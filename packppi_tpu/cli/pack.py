@@ -8,23 +8,13 @@ report the chi metric suite against the input conformation.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import time
 from pathlib import Path
 
 import numpy as np
 
-
-def _merge_output_structure(prot, feats, batch, coords, L):
-    """Rebuilt coordinates for modeled residues; residues the model cannot
-    represent (incomplete backbone -> residue_mask 0) pass through unchanged
-    so the output keeps the input's residue count."""
-    rm = feats["residue_mask"].astype(bool)
-    pos = np.where(rm[:, None, None], np.asarray(coords[0, :L]),
-                   np.nan_to_num(prot.atom_positions))
-    mask = np.where(rm[:, None], np.asarray(batch.atom_mask[0, :L]), prot.atom_mask)
-    return dataclasses.replace(prot, atom_positions=pos, atom_mask=mask)
+from packppi_tpu.cli._directory import merge_output_structure as _merge_output_structure
 
 
 def build_parser():
@@ -205,35 +195,23 @@ def run_directory(args) -> list:
     configure_platform(getattr(args, "platform", None))
     import jax
 
+    from packppi_tpu.cli._directory import (bucket_indices, load_directory,
+                                            resolve_n_devices, run_chunks,
+                                            sharding_env)
     from packppi_tpu.data import stack_batch
-    from packppi_tpu.data.batch import bucket_length
     from packppi_tpu.geometry import atom14_coords_from_torsions
     from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
     from packppi_tpu.ops.clash import compute_residue_clash
     from packppi_tpu.sampling import proximal_optimize
-    from packppi_tpu.structure import from_pdb_file, to_pdb
-    from packppi_tpu.structure.featurize import featurize
+    from packppi_tpu.structure import to_pdb
     from packppi_tpu.train import load_model_params
 
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
-    pdbs = sorted(Path(args.input).glob("*.pdb"))
-    if not pdbs:
-        raise SystemExit(f"no PDBs in {args.input}")
-
-    from concurrent.futures import ThreadPoolExecutor as _TP
-
-    with _TP(max_workers=8) as tp:   # numpy parse+featurize release the GIL
-        parsed = list(tp.map(lambda p: from_pdb_file(p, mse_to_met=True), pdbs))
-        feats = list(tp.map(featurize, parsed))
-    proteins = list(zip(pdbs, parsed))
+    proteins, feats, _ = load_directory(args.input)
 
     n_samples = max(1, getattr(args, "n_samples", 1))
-    n_devices = getattr(args, "n_devices", None) or jax.device_count()
-    if n_devices > jax.device_count():
-        print(f"WARNING: --n_devices {n_devices} > available "
-              f"{jax.device_count()}; clamping")
-        n_devices = jax.device_count()
+    n_devices = resolve_n_devices(args)
     # fixed row budget per executable: batch_size rows per device
     budget = max(args.batch_size, 1) * n_devices
     per_chunk = max(1, budget // n_samples)                      # complexes/step
@@ -294,29 +272,16 @@ def run_directory(args) -> list:
         coords = atom14_coords_from_torsions(wb.X, wb.residue_type, wb.BB_D, sc_win)
         return coords, wb.atom_mask
 
-    if n_devices > 1:
-        # rows shard over 'data'; params/keys replicate; XLA partitions the
-        # row-independent sampler with zero collectives on the hot path (the
-        # winner-row takes gather across shards once per chunk)
-        from packppi_tpu.parallel import batch_sharding, make_mesh, replicated
-
-        mesh = make_mesh(n_devices, model_parallel=1)
-        rep, b_shard = replicated(mesh), batch_sharding(mesh)
-        shard_batch = lambda b: jax.device_put(b, jax.tree.map(lambda _: b_shard, b))
-        pack_fn = jax.jit(_pack_chunk, in_shardings=(rep, rep, b_shard),
-                          out_shardings=(b_shard, b_shard))
-    else:
-        shard_batch = lambda b: b
-        pack_fn = jax.jit(_pack_chunk)
-
-    by_bucket: dict[int, list[int]] = {}
-    for i, f in enumerate(feats):
-        by_bucket.setdefault(bucket_length(len(f["residue_type"])), []).append(i)
+    # rows shard over 'data'; params/keys replicate; XLA partitions the
+    # row-independent sampler with zero collectives on the hot path (the
+    # winner-row takes gather across shards once per chunk)
+    shard_batch, jit_sharded = sharding_env(n_devices)
+    pack_fn = jit_sharded(_pack_chunk, ("rep", "rep", "batch"),
+                          ("batch", "batch"))
 
     # host work (structure merge + PDB write + optional metric suite) runs on
     # a thread pool OVERLAPPED with the next chunk's device dispatch — the
     # device never waits on file I/O or the Python metric path
-    from concurrent.futures import ThreadPoolExecutor
     from types import SimpleNamespace
 
     analysis = None
@@ -341,23 +306,22 @@ def run_directory(args) -> list:
                                   else v) for k, v in m.items()}
         return rec
 
+    def _dispatch(padded, bucket):
+        nonlocal key
+        row_feats = [feats[i] for i in padded for _ in range(n_samples)]
+        row_feats += [row_feats[-1]] * (rows - len(row_feats))
+        batch = shard_batch(stack_batch(row_feats, target_len=bucket))
+        key, k = jax.random.split(key)
+        coords, masks = pack_fn(params, k, batch)
+        return np.asarray(coords), np.asarray(masks)
+
+    def _submit(pool, futures, chunk, out):
+        coords, masks = out
+        for row, i in enumerate(chunk):
+            futures.append(pool.submit(_write_one, i, coords[row], masks[row]))
+
     t0 = time.perf_counter()
-    futures = []
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        for bucket, members in sorted(by_bucket.items()):
-            for s in range(0, len(members), per_chunk):
-                chunk = members[s:s + per_chunk]
-                # fixed shapes: pad the chunk with repeats of its last complex
-                padded = chunk + [chunk[-1]] * (per_chunk - len(chunk))
-                row_feats = [feats[i] for i in padded for _ in range(n_samples)]
-                row_feats += [row_feats[-1]] * (rows - len(row_feats))
-                batch = shard_batch(stack_batch(row_feats, target_len=bucket))
-                key, k = jax.random.split(key)
-                coords, masks = pack_fn(params, k, batch)
-                coords, masks = np.asarray(coords), np.asarray(masks)
-                for row, i in enumerate(chunk):
-                    futures.append(pool.submit(_write_one, i, coords[row], masks[row]))
-        results = [f.result() for f in futures]
+    results = run_chunks(bucket_indices(feats), per_chunk, _dispatch, _submit)
     elapsed = time.perf_counter() - t0
     print(f"packed {len(results)} complexes in {elapsed:.2f}s on {n_devices} "
           f"device(s) ({elapsed / max(len(results), 1):.3f}s each)")

@@ -8,23 +8,13 @@ clashscore before/after.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import time
 from pathlib import Path
 
 import numpy as np
 
-
-def _merge_output_structure(prot, feats, batch, coords, L):
-    """Rebuilt coordinates for modeled residues; residues the model cannot
-    represent (incomplete backbone -> residue_mask 0) pass through unchanged
-    so the output keeps the input's residue count."""
-    rm = feats["residue_mask"].astype(bool)
-    pos = np.where(rm[:, None, None], np.asarray(coords[0, :L]),
-                   np.nan_to_num(prot.atom_positions))
-    mask = np.where(rm[:, None], np.asarray(batch.atom_mask[0, :L]), prot.atom_mask)
-    return dataclasses.replace(prot, atom_positions=pos, atom_mask=mask)
+from packppi_tpu.cli._directory import merge_output_structure as _merge_output_structure
 
 
 def build_parser():
@@ -132,42 +122,22 @@ def run_directory(args) -> list:
     """
     from packppi_tpu.utils.platform import configure_platform
     configure_platform(getattr(args, "platform", None))
-    import jax
     import jax.numpy as jnp
 
+    from packppi_tpu.cli._directory import (bucket_indices, load_directory,
+                                            resolve_n_devices, run_chunks,
+                                            sharding_env)
     from packppi_tpu.data import stack_batch
-    from packppi_tpu.data.batch import bucket_length
     from packppi_tpu.geometry import atom14_coords_from_torsions
     from packppi_tpu.sampling import proximal_optimize
-    from packppi_tpu.structure import from_pdb_file, to_pdb
-    from packppi_tpu.structure.featurize import featurize
+    from packppi_tpu.structure import to_pdb
     from packppi_tpu.utils.analysis import ProteinAnalysis
 
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
-    pdbs = sorted(Path(args.input).glob("*.pdb"))
-    if not pdbs:
-        raise SystemExit(f"no PDBs in {args.input}")
+    proteins, feats, skipped = load_directory(args.input, require_chis=True)
 
-    from concurrent.futures import ThreadPoolExecutor as _TP
-
-    with _TP(max_workers=8) as tp:   # numpy parse+featurize release the GIL
-        parsed = list(tp.map(lambda p: from_pdb_file(p, mse_to_met=True), pdbs))
-        all_feats = list(tp.map(featurize, parsed))
-    proteins, feats, skipped = [], [], []
-    for p, prot, f in zip(pdbs, parsed, all_feats):
-        if f["SC_D_mask"].sum() == 0:
-            skipped.append(str(p))
-            continue
-        proteins.append((p, prot))
-        feats.append(f)
-    if skipped:
-        print(f"skipping {len(skipped)} structure(s) without side-chain chis")
-    if not feats:
-        raise SystemExit("no structure in the directory has side chains")
-
-    n_devices = min(getattr(args, "n_devices", None) or jax.device_count(),
-                    jax.device_count())
+    n_devices = resolve_n_devices(args)
     per_chunk = max(args.batch_size, 1) * n_devices
 
     if args.num_steps < 1:
@@ -182,23 +152,14 @@ def run_directory(args) -> list:
         coords = atom14_coords_from_torsions(b.X, b.residue_type, b.BB_D, sc)
         return coords, b.atom_mask, accept, res.row_losses[0], res.row_losses[-1]
 
-    if n_devices > 1:
-        from packppi_tpu.parallel import batch_sharding, make_mesh, replicated
-
-        mesh = make_mesh(n_devices, model_parallel=1)
-        rep, b_shard = replicated(mesh), batch_sharding(mesh)
-        shard_batch = lambda b: jax.device_put(b, jax.tree.map(lambda _: b_shard, b))
-        prox_fn = jax.jit(_prox_chunk, in_shardings=(b_shard,),
-                          out_shardings=(b_shard, b_shard, rep, rep, rep))
-    else:
-        shard_batch = lambda b: b
-        prox_fn = jax.jit(_prox_chunk)
+    shard_batch, jit_sharded = sharding_env(n_devices)
+    prox_fn = jit_sharded(_prox_chunk, ("batch",),
+                          ("batch", "batch", "rep", "rep", "rep"))
 
     analysis = (None if getattr(args, "no_clashscore", False) else
                 ProteinAnalysis(getattr(args, "molprobity_loc", None),
                                 tmp_dir=str(outdir / "tmp")))
 
-    from concurrent.futures import ThreadPoolExecutor
     from types import SimpleNamespace
 
     def _write_one(i, coords_row, mask_row, accepted, l0, l1) -> dict:
@@ -217,25 +178,20 @@ def run_directory(args) -> list:
             rec["clashscore_after"] = analysis.get_clashscore(str(out_path))
         return rec
 
-    by_bucket: dict[int, list[int]] = {}
-    for i, f in enumerate(feats):
-        by_bucket.setdefault(bucket_length(len(f["residue_type"])), []).append(i)
+    def _dispatch(padded, bucket):
+        batch = shard_batch(stack_batch([feats[i] for i in padded],
+                                        target_len=bucket))
+        return tuple(map(np.asarray, prox_fn(batch)))
+
+    def _submit(pool, futures, chunk, out):
+        coords, masks, accept, l0, l1 = out
+        for row, i in enumerate(chunk):
+            futures.append(pool.submit(
+                _write_one, i, coords[row], masks[row],
+                accept[row], l0[row], l1[row]))
 
     t0 = time.perf_counter()
-    futures = []
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        for bucket, members in sorted(by_bucket.items()):
-            for s in range(0, len(members), per_chunk):
-                chunk = members[s:s + per_chunk]
-                padded = chunk + [chunk[-1]] * (per_chunk - len(chunk))
-                batch = shard_batch(stack_batch([feats[i] for i in padded],
-                                                target_len=bucket))
-                coords, masks, accept, l0, l1 = map(np.asarray, prox_fn(batch))
-                for row, i in enumerate(chunk):
-                    futures.append(pool.submit(
-                        _write_one, i, coords[row], masks[row],
-                        accept[row], l0[row], l1[row]))
-        results = [f.result() for f in futures]
+    results = run_chunks(bucket_indices(feats), per_chunk, _dispatch, _submit)
     elapsed = time.perf_counter() - t0
     print(f"optimized {len(results)} structures in {elapsed:.2f}s on "
           f"{n_devices} device(s) ({elapsed / max(len(results), 1):.3f}s each)")

@@ -268,7 +268,7 @@ FLIP_GROUPS = {
 # applies only below HBOND_OVERLAP_CAP; deeper interpenetration at a
 # donor/acceptor contact scores as a clash again.
 HBOND_REWARD_WEIGHT = 0.4
-HBOND_OVERLAP_CAP = 0.8   # must match utils.metrics.probe_clashscore's waiver
+HBOND_OVERLAP_CAP = 0.8   # probe_clashscore's waiver imports this (one source)
 SERIOUS_OVERLAP = 0.4     # MolProbity clashscore threshold, Angstrom
 
 

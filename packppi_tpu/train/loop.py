@@ -415,7 +415,6 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
             yield (*put(jnp.asarray(wt), jnp.asarray(mt), jnp.asarray(ddg)),
                    put(jnp.asarray(w))[0])
 
-    from packppi_tpu.train.diffusion_task import make_ema_update
     ema_step = (jax.jit(make_ema_update(ema_decay), donate_argnums=(0,))
                 if ema is not None else None)
 
@@ -578,7 +577,6 @@ def train_affinity(cfg) -> dict:
         eval_step = jax.jit(lambda p, k, b: model.loss(p, backbone_params, k, b))
         predict = jax.jit(lambda p, b: model.predict(p, backbone_params, b)[0])
 
-    from packppi_tpu.train.diffusion_task import make_ema_update
     ema_step = (jax.jit(make_ema_update(ema_decay), donate_argnums=(0,))
                 if ema is not None else None)
 

@@ -71,11 +71,25 @@ class ProteinAnalysis:
         metric = chi_metrics(ft["SC_D"], fp["SC_D"], ft["SC_D_mask"],
                              ft["chi_1pi_periodic_mask"], interface)
 
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
+
         from packppi_tpu.geometry import atom14_coords_from_torsions
-        pred_coords = atom14_coords_from_torsions(
-            jnp.asarray(ft["X"]), jnp.asarray(ft["residue_type"]),
-            jnp.asarray(ft["BB_D"]), jnp.asarray(fp["SC_D"]))
+
+        # pin the coordinate rebuild to the host CPU backend: get_metric runs
+        # on writer/metric threads overlapped with device packing (cli.pack
+        # --metrics), and an eager dispatch to the accelerator here would
+        # contend with the next chunk's pack_fn on the same device queue
+        try:
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:  # no CPU backend registered
+            ctx = contextlib.nullcontext()
+        with ctx:
+            pred_coords = atom14_coords_from_torsions(
+                jnp.asarray(ft["X"]), jnp.asarray(ft["residue_type"]),
+                jnp.asarray(ft["BB_D"]), jnp.asarray(fp["SC_D"]))
         metric["atom_rmsd"] = mean_squared_atom_deviation(
             ft["X"], np.asarray(pred_coords), ft["atom_mask"], ft["residue_mask"])
 

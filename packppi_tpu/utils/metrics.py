@@ -82,11 +82,14 @@ def mean_squared_atom_deviation(true_coords, pred_coords, atom_mask, residue_mas
 PROBE_RADII = {"C": 1.70, "N": 1.625, "O": 1.480, "S": 1.782, "P": 1.871}
 PROBE_H_RADIUS = 1.17       # H bonded to carbon (Word et al. 1999 e-cloud radii)
 PROBE_H_POLAR_RADIUS = 1.05  # H bonded to N/O/S
-SERIOUS_OVERLAP = 0.4        # MolProbity 'clashscore' threshold, Angstrom
+# single source of truth shared with the H-placement orientation scorers —
+# the optimizer must optimize exactly the objective this metric measures
+from packppi_tpu.structure.hydrogens import (  # noqa: E402
+    HBOND_OVERLAP_CAP, SERIOUS_OVERLAP)
 
 
 def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP,
-                     hbond_overlap_cap: float = 0.8) -> float:
+                     hbond_overlap_cap: float = HBOND_OVERLAP_CAP) -> float:
     """H-aware clashscore: serious steric overlaps per 1000 atoms,
     Probe/MolProbity semantics (reference shells out to
     ``molprobity.clashscore keep_hydrogens=True``,

@@ -104,6 +104,8 @@ def test_directory_pack_honors_proximal_and_n_samples(crop_dir, tmp_path):
     assert summary["use_proximal"] is True
     assert summary["n_samples"] == 2
     assert summary["n_devices"] == 8
+    for r in results:
+        assert os.path.exists(r["output"])
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
