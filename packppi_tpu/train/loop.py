@@ -100,6 +100,34 @@ def make_lr(trainer_cfg, steps_per_epoch: int):
     raise ValueError(f"unknown lr_schedule {schedule!r} (constant | cosine)")
 
 
+class EarlyStopper:
+    """val/loss early stopping with patience — reference-parity capability
+    (reference: configs/callbacks/early_stopping.yaml: monitor val/loss,
+    patience counted in validation checks, mode min, min_delta 0; the
+    reference's own diffusion run neutralizes it via min_epochs ==
+    max_epochs, configs/trainer/default.yaml:5-6). Disabled when
+    ``trainer.early_stopping_patience`` <= 0 (the default here)."""
+
+    def __init__(self, trainer_cfg):
+        self.patience = int(trainer_cfg.get("early_stopping_patience", 0) or 0)
+        self.min_delta = float(trainer_cfg.get("early_stopping_min_delta", 0.0) or 0.0)
+        self.min_epochs = int(trainer_cfg.get("min_epochs", 0) or 0)
+        self.best = float("inf")
+        self.stale = 0
+
+    def should_stop(self, epoch: int, val_loss: float) -> bool:
+        """Feed one validation result; True once ``patience`` consecutive
+        checks brought no improvement and ``min_epochs`` have completed.
+        Non-finite losses (no-val epochs) neither improve nor count."""
+        if self.patience <= 0 or not np.isfinite(val_loss):
+            return False
+        if val_loss < self.best - self.min_delta:
+            self.best, self.stale = val_loss, 0
+        else:
+            self.stale += 1
+        return self.stale >= self.patience and (epoch + 1) >= self.min_epochs
+
+
 def train_diffusion(cfg) -> dict:
     """PackPPI-MSC training from a composed config (see configs/train_diffusion.yaml)."""
     from packppi_tpu.data.complex import ComplexDataset, scan_complex_dir, split_entries
@@ -219,7 +247,10 @@ def train_diffusion(cfg) -> dict:
 
     # ---- epochs -------------------------------------------------------------
     best_val = float("inf")
+    stopper = EarlyStopper(cfg.trainer)
+    epochs_run = 0
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
+        epochs_run = epoch + 1
         losses = []
         for batch in loaders["train"]:
             state, loss = train_step(state, put_batch(batch))
@@ -261,6 +292,10 @@ def train_diffusion(cfg) -> dict:
             ckpt_mgr.save(int(state.step), state,
                           metric=val_loss if np.isfinite(val_loss) else None,
                           ema=ema)
+        if stopper.should_stop(epoch, val_loss):
+            log.info(f"early stopping at epoch {epoch}: no val/loss improvement "
+                     f"in {stopper.patience} validation check(s)")
+            break
 
     # final held-out evaluation with the best checkpoint (reference:
     # trainer.test on best ckpt, src/train_diffusion.py:74-86)
@@ -286,6 +321,7 @@ def train_diffusion(cfg) -> dict:
 
     metrics_log.close()
     return {"best_val_loss": best_val, "test_loss": test_loss,
+            "epochs_run": epochs_run,
             "best_ckpt": ckpt_mgr.best(), "last_ckpt": ckpt_mgr.latest()}
 
 
@@ -420,6 +456,7 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
 
     ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
     best_val, step = float("inf"), 0
+    stopper = EarlyStopper(cfg.trainer)
     for epoch in range(cfg.trainer.max_epochs):
         losses = []
         for wt, mt, ddg in make_batches(splits["train"], global_batch, True,
@@ -440,6 +477,9 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
         log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
         ckpt_mgr.save(step, params, metric=val_loss if np.isfinite(val_loss) else None,
                       ema=ema)
+        if stopper.should_stop(epoch, val_loss):
+            log.info(f"early stopping at epoch {epoch}")
+            break
     metrics_log.close()
     return {"best_val_loss": best_val, "best_ckpt": ckpt_mgr.best()}
 
@@ -582,6 +622,7 @@ def train_affinity(cfg) -> dict:
 
     ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
     best_val = float("inf")
+    stopper = EarlyStopper(cfg.trainer)
     for epoch in range(cfg.trainer.max_epochs):
         losses = []
         for batch in loaders["train"]:
@@ -619,6 +660,9 @@ def train_affinity(cfg) -> dict:
         log.info(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} {extras}")
         ckpt_mgr.save(step, params, metric=val_loss if np.isfinite(val_loss) else None,
                       ema=ema)
+        if stopper.should_stop(epoch, val_loss):
+            log.info(f"early stopping at epoch {epoch}")
+            break
 
     metrics_log.close()
     return {"best_val_loss": best_val, "best_ckpt": ckpt_mgr.best()}

@@ -445,3 +445,83 @@ def test_make_run_dir_collision_suffix(tmp_path):
     c = make_run_dir(str(tmp_path), timestamp="2026-01-02_03-04-05")
     assert len({a, b, c}) == 3
     assert all(p.is_dir() for p in (a, b, c))
+
+
+def test_early_stopper_logic():
+    """Patience semantics of the reference's early-stopping callback
+    (reference: configs/callbacks/early_stopping.yaml): counted in
+    validation checks, min-mode, min_delta, gated on min_epochs; NaN
+    (no-validation epochs) neither improves nor consumes patience."""
+    from types import SimpleNamespace
+
+    from packppi_tpu.train.loop import EarlyStopper
+
+    cfg = lambda **kw: SimpleNamespace(get=lambda k, d=None, _kw=kw: _kw.get(k, d))
+
+    s = EarlyStopper(cfg(early_stopping_patience=2))
+    assert not s.should_stop(0, 1.0)       # first value = improvement
+    assert not s.should_stop(1, float("nan"))  # no-val epoch: ignored
+    assert not s.should_stop(2, 1.0)       # stale 1
+    assert s.should_stop(3, 1.0)           # stale 2 -> stop
+
+    # improvement resets patience
+    s = EarlyStopper(cfg(early_stopping_patience=1))
+    assert not s.should_stop(0, 1.0)
+    assert not s.should_stop(1, 0.5)
+    assert s.should_stop(2, 0.5)
+
+    # min_delta: tiny improvements don't count
+    s = EarlyStopper(cfg(early_stopping_patience=1, early_stopping_min_delta=0.1))
+    assert not s.should_stop(0, 1.0)
+    assert s.should_stop(1, 0.95)
+
+    # min_epochs holds off stopping (the reference's neutralization knob)
+    s = EarlyStopper(cfg(early_stopping_patience=1, min_epochs=4))
+    assert not s.should_stop(0, 1.0)
+    assert not s.should_stop(1, 1.0)       # patience exhausted but epoch < min
+    assert s.should_stop(3, 1.0)
+
+    # disabled by default
+    s = EarlyStopper(cfg())
+    assert not any(s.should_stop(e, 1.0) for e in range(50))
+
+
+def test_train_diffusion_early_stopping(tmp_path):
+    """End-to-end: with lr=0 the val loss never improves, so training stops
+    after patience+1 validation checks instead of running max_epochs."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from make_crop_corpus import take_residues
+
+    from packppi_tpu.structure import from_pdb_file, to_pdb
+    from packppi_tpu.train.loop import train_diffusion
+
+    prot = from_pdb_file(os.path.join(os.path.dirname(__file__), "fixtures", "1brs.pdb"),
+                         mse_to_met=True)
+    data_dir = tmp_path / "corpus"
+    data_dir.mkdir()
+    for k in range(6):
+        sel = np.arange(k * 13, k * 13 + 48) % len(prot.aaindex)
+        (data_dir / f"crop{k:02d}_rc.pdb").write_text(
+            to_pdb(take_residues(prot, np.sort(sel))))
+
+    cfg = load_config(os.path.join(CONFIG_DIR, "train_diffusion.yaml"), [
+        f"output_dir={tmp_path / 'out'}",
+        f"data.data_dir={data_dir}",
+        "data.split_fractions=[0.7,0.2,0.1]",
+        "data.batch_size=1",
+        "trainer.n_devices=1",
+        "trainer.max_epochs=30",
+        "trainer.lr=0.0",
+        "trainer.early_stopping_patience=1",
+        "sample.sample_during_training=false",
+        "seed=0",
+    ])
+    result = train_diffusion(cfg)
+    # val eval draws fresh noise each epoch, so the constant-params loss
+    # still fluctuates a little — the stop lands on the first epoch whose
+    # val draw fails to improve on the running best (epoch 2-4 in practice,
+    # seed-deterministic), far short of max_epochs
+    assert 2 <= result["epochs_run"] <= 6
+    assert np.isfinite(result["best_val_loss"])
