@@ -161,7 +161,14 @@ def run(args) -> dict:
           + (f", proximal {t_prox:.2f}s" if args.use_proximal else "") + ")")
 
     analysis = ProteinAnalysis(args.molprobity_loc, tmp_dir=str(outdir / "tmp"))
-    metric = analysis.get_metric(args.input, str(out_pdb)) or {}
+    if feats["SC_D_mask"].sum() == 0:
+        # chi-comparison metrics are undefined without ground-truth side
+        # chains; the reference skips the suite too (contains_sidechains
+        # guard, src/eval_diffusion.py:43-50,73-77)
+        print("no side chain atoms in the input PDB; skipping metric calculation")
+        metric = {}
+    else:
+        metric = analysis.get_metric(args.input, str(out_pdb)) or {}
     metric["sampling_seconds"] = t_sample
     if args.use_proximal:
         metric["proximal_seconds"] = t_prox
@@ -301,9 +308,14 @@ def run_directory(args) -> list:
         out_path.write_text(to_pdb(out_prot))
         rec = {"input": str(path), "output": str(out_path)}
         if analysis is not None:
-            m = analysis.get_metric(str(path), str(out_path)) or {}
-            rec["metrics"] = {k: (float(v) if isinstance(v, (int, float, np.floating))
-                                  else v) for k, v in m.items()}
+            if feats[i]["SC_D_mask"].sum() == 0:
+                # chi metrics are undefined without true side chains
+                # (reference guard: src/eval_diffusion.py:43-50)
+                rec["metrics"] = {"skipped": "no side chains in input"}
+            else:
+                m = analysis.get_metric(str(path), str(out_path)) or {}
+                rec["metrics"] = {k: (float(v) if isinstance(v, (int, float, np.floating))
+                                      else v) for k, v in m.items()}
         return rec
 
     def _dispatch(padded, bucket):

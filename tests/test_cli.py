@@ -156,3 +156,29 @@ def test_pack_cli_corrector_steps(tmp_path):
     assert (tmp_path / "structure.pdb").exists()
     assert np.isfinite(metrics["clashscore"])
     assert 0 <= metrics["total_acc"] <= 1
+
+
+def test_pack_cli_skips_metrics_for_backbone_only(tmp_path):
+    """Packing a backbone-only input still writes the structure but skips
+    the chi-comparison metric suite (undefined without true side chains;
+    reference guard: src/eval_diffusion.py:43-50,73-77)."""
+    import dataclasses
+
+    from packppi_tpu.cli.pack import run
+    from packppi_tpu.structure import from_pdb_file, to_pdb
+
+    prot = from_pdb_file(os.path.join(FIXTURES, "1brs.pdb"), chain_id="D")
+    bb_mask = np.zeros_like(prot.atom_mask)
+    bb_mask[:, :4] = prot.atom_mask[:, :4]
+    pdb = tmp_path / "bb_only.pdb"
+    pdb.write_text(to_pdb(dataclasses.replace(prot, atom_mask=bb_mask)))
+
+    args = argparse.Namespace(
+        input=str(pdb), outdir=str(tmp_path), ckpt=None, use_proximal=False,
+        seed=0, platform=None, n_steps=2, molprobity_loc=None,
+        exact_length=True, print_metrics=False, batch_size=1,
+        precision="float32", no_fused=True)
+    metrics = run(args)
+    assert (tmp_path / "structure.pdb").exists()
+    assert "total_acc" not in metrics            # suite skipped
+    assert "sampling_seconds" in metrics         # timing still reported
