@@ -48,6 +48,10 @@ def build_parser():
                    help="network compute dtype (bf16 ~15%% faster, <1%% score deviation)")
     p.add_argument("--no_fused", action="store_true",
                    help="disable the fused Pallas message kernel")
+    p.add_argument("--geometry", default="global", choices=["global", "local"],
+                   help="point-geometry layout: 'local' caches static "
+                        "relative frame transforms and gathers bf16-safe "
+                        "local points (see NetworkConfig.geometry_mode)")
     p.add_argument("--molprobity_loc", "--molprobity_clash_loc", default=None,
                    help="molprobity.clashscore binary (reference-compatible alias)")
     p.add_argument("--exact_length", action="store_true",
@@ -87,7 +91,8 @@ def run(args) -> dict:
 
     # the fused Pallas kernel is TPU-only; fall back transparently elsewhere
     fused = not args.no_fused and jax.default_backend().startswith(("tpu", "axon"))
-    net_cfg = NetworkConfig(compute_dtype=args.precision, fused_messages=fused)
+    net_cfg = NetworkConfig(compute_dtype=args.precision, fused_messages=fused,
+                            geometry_mode=getattr(args, "geometry", "global"))
     model = TorsionalDiffusion.create(net_cfg, SampleConfig())
     key = jax.random.key(args.seed)
     if args.ckpt:
@@ -228,7 +233,8 @@ def run_directory(args) -> list:
     fused = (not getattr(args, "no_fused", False)
              and jax.default_backend().startswith(("tpu", "axon")))
     net_cfg = NetworkConfig(compute_dtype=getattr(args, "precision", "bfloat16"),
-                            fused_messages=fused)
+                            fused_messages=fused,
+                            geometry_mode=getattr(args, "geometry", "global"))
     model = TorsionalDiffusion.create(net_cfg, SampleConfig())
     key = jax.random.key(args.seed)
     init_batch = stack_batch(feats[:1])

@@ -44,6 +44,15 @@ class NetworkConfig:
     # ("float32" | "bfloat16" | "int8"); int8 = per-channel symmetric
     # quantization, dequantized on read each denoising step
     static_edge_dtype: str = "float32"
+    # "global" computes point-geometry features from gathered GLOBAL
+    # neighbor points (f32 gather — O(100 A) coordinates are not bf16-safe);
+    # "local" caches static per-edge relative frame transforms
+    # (ipmp.relative_frame_transforms — the backbone is frozen during
+    # sampling) and computes identical features from gathered LOCAL points,
+    # which makes the per-step gather stream bf16-safe. Incompatible with
+    # fused_messages="geom" / fused_layers (those kernels read global
+    # points); values identical at f32 (tested).
+    geometry_mode: str = "global"
 
 
 class ChiScoreNetwork(nn.Module):
@@ -51,6 +60,10 @@ class ChiScoreNetwork(nn.Module):
 
     def setup(self):
         c = self.cfg
+        if c.geometry_mode == "local" and (c.fused_messages == "geom" or c.fused_layers):
+            raise ValueError(
+                "geometry_mode='local' is incompatible with the global-point "
+                "kernels (fused_messages='geom' / fused_layers)")
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         self.encoder = ProteinEncoder(
             node_features=c.node_features,
@@ -96,6 +109,16 @@ class ChiScoreNetwork(nn.Module):
         # the sampling scan measured 130 us/step (XLA does not hoist the
         # gather out of the while loop)
         mask_attend = MessagePassingStack.attend_mask(batch.residue_mask, idx)
+        if self.cfg.geometry_mode == "local":
+            # the backbone is frozen during sampling -> the per-edge relative
+            # frame transforms are static; cache them with the edges
+            from packppi_tpu.geometry.rigid import bb_frames_from_atom14, scale_translation
+            from packppi_tpu.models.ipmp import relative_frame_transforms
+
+            frames = scale_translation(bb_frames_from_atom14(batch.X),
+                                       1.0 / self.cfg.position_scale)
+            rel = relative_frame_transforms(frames, idx)
+            return h_E, idx, mask_attend, rel
         return h_E, idx, mask_attend
 
     @staticmethod
@@ -121,9 +144,10 @@ class ChiScoreNetwork(nn.Module):
         sc_sincos = jnp.stack([jnp.sin(SC_D_noised), jnp.cos(SC_D_noised)], -1)
         sc_sincos = sc_sincos * batch.SC_D_mask[..., None]
 
-        mask_attend = None
+        mask_attend, rel = None, None
         if static is not None:
             mask_attend = static[2] if len(static) > 2 else None
+            rel = static[3] if len(static) > 3 else None
             static = (self._dequant_static(static[0], dtype), static[1])
         h_V, h_E, idx = self.encoder(
             batch.X, batch.residue_type, batch.BB_D_sincos, sc_sincos,
@@ -137,7 +161,8 @@ class ChiScoreNetwork(nn.Module):
             fused=c.fused_messages if deterministic else False,
             skip_last_edge_update=skip_last_edge_update and deterministic,
             fused_layer=c.fused_layers and deterministic,
-            mask_attend=mask_attend)
+            mask_attend=mask_attend,
+            geometry_local=c.geometry_mode == "local", rel=rel)
 
         score = self.dec1(h_V)
         score = nn.relu(score)

@@ -84,6 +84,93 @@ def geometry_edge_features(p_local: jnp.ndarray, nbr: jnp.ndarray,
     ], -1)
 
 
+def relative_frame_transforms(frames, idx):
+    """Static per-edge relative transforms: ``R_rel = R_i^T R_j`` ([B, L, K,
+    9], row-major planes) and ``t_rel = R_i^T (t_j - t_i)`` ([B, L, K, 3]).
+
+    The backbone never moves during sampling, so these are CONSTANT across
+    all denoising steps — ``encode_static`` caches them once per pack when
+    ``NetworkConfig.geometry_mode == "local"``. With them, every geometry
+    feature becomes a function of LOCAL-frame quantities only (see
+    ``geometry_edge_features_local``): the per-step neighbor gather then
+    moves O(1-10 A) local points instead of O(100 A) global coordinates,
+    which makes a bfloat16 gather stream safe (the precision failure mode
+    of bf16 on global coords is documented in PERF.md's rejected Gram-matrix
+    clash kernel). One-time cost; computed in AoS form for clarity.
+    """
+    B, L = idx.shape[:2]
+    R, t = frames.rot, frames.trans                              # [B,L,3,3],[B,L,3]
+    Rj = gather_nodes(R.reshape(B, L, 9), idx).reshape(*idx.shape, 3, 3)
+    tj = gather_nodes(t, idx)                                    # [B,L,K,3]
+    # (R_i^T R_j)[a,d] = sum_c R_i[c,a] R_j[c,d]
+    rel_rot = jnp.einsum("xlca,xlkcd->xlkad", R, Rj)
+    rel_t = jnp.einsum("xlca,xlkc->xlka", R, tj - t[:, :, None])
+    return rel_rot.reshape(*idx.shape, 9), rel_t
+
+
+def geometry_edge_features_local(p_local: jnp.ndarray, nbr_pl: jnp.ndarray,
+                                 rel) -> jnp.ndarray:
+    """The same 9P geometry features as ``geometry_edge_features``, computed
+    entirely in node i's LOCAL frame from the gathered neighbor local-point
+    planes ``nbr_pl`` [B, L, K, 3P] and the static relative transforms
+    ``rel`` (see ``relative_frame_transforms``):
+
+        nl   = R_rel @ p_local_j + t_rel          (j's points in i's frame)
+        |pg_i - ng_j| = |p_local_i - nl|          (norms are R_i-invariant)
+
+    Mathematically identical to the global-frame path (locked by
+    tests/test_model.py::test_geometry_local_matches_global); the point is
+    the INPUT: ``nbr_pl`` may arrive in bfloat16 (local scale), halving the
+    per-step gather traffic. Feature math runs in f32 regardless.
+    """
+    B, L, P = p_local.shape[:3]
+    K = nbr_pl.shape[2]
+    f32 = jnp.float32
+    plx, ply, plz = (p_local[..., c].astype(f32) for c in range(3))   # [B,L,P]
+    pjx = nbr_pl[..., :P].astype(f32)                                 # [B,L,K,P]
+    pjy = nbr_pl[..., P:2 * P].astype(f32)
+    pjz = nbr_pl[..., 2 * P:].astype(f32)
+    rot9, t3 = rel
+    r = lambda a: rot9[..., a, None].astype(f32)                      # [B,L,K,1]
+    nlx = r(0) * pjx + r(1) * pjy + r(2) * pjz + t3[..., 0, None].astype(f32)
+    nly = r(3) * pjx + r(4) * pjy + r(5) * pjz + t3[..., 1, None].astype(f32)
+    nlz = r(6) * pjx + r(7) * pjy + r(8) * pjz + t3[..., 2, None].astype(f32)
+
+    eps = 1e-8
+    norm_pl = jnp.sqrt(plx * plx + ply * ply + plz * plz + eps)       # [B,L,P]
+    norm_nl = jnp.sqrt(nlx * nlx + nly * nly + nlz * nlz + eps)       # [B,L,K,P]
+    dx = plx[:, :, None] - nlx
+    dy = ply[:, :, None] - nly
+    dz = plz[:, :, None] - nlz
+    norm_pair = jnp.sqrt(dx * dx + dy * dy + dz * dz + eps)           # [B,L,K,P]
+
+    flat_pl = jnp.broadcast_to(
+        p_local.astype(f32).reshape(B, L, 1, P * 3), (B, L, K, P * 3))
+    flat_nl = jnp.stack([nlx, nly, nlz], -1).reshape(B, L, K, P * 3)
+    return jnp.concatenate([
+        flat_pl,
+        jnp.broadcast_to(norm_pl[:, :, None], (B, L, K, P)),
+        flat_nl,
+        norm_nl,
+        norm_pair,
+    ], -1)
+
+
+def geometry_features_local(p_local: jnp.ndarray, idx: jnp.ndarray, rel,
+                            stream_dtype=None) -> jnp.ndarray:
+    """Gather-then-features in the local frame: the gather operand is the
+    plane-stacked local points, cast to ``stream_dtype`` (bf16 on the fast
+    inference path — safe at local scale, see ``relative_frame_transforms``).
+    """
+    B, L, P = p_local.shape[:3]
+    pl_planes = jnp.concatenate([p_local[..., 0], p_local[..., 1],
+                                 p_local[..., 2]], -1)                # [B,L,3P]
+    if stream_dtype is not None:
+        pl_planes = pl_planes.astype(stream_dtype)
+    nbr = gather_nodes(pl_planes, idx)
+    return geometry_edge_features_local(p_local, nbr, rel)
+
+
 def geometry_features(p_local: jnp.ndarray, idx: jnp.ndarray, frames) -> jnp.ndarray:
     """[B, L, K, 9*P] frame-invariant point features (pure function).
 
@@ -267,17 +354,23 @@ class InvariantPointLayer(nn.Module):
     dtype: object = None  # message/FFN computation dtype (geometry stays f32)
     edge_dim: int = 128
 
-    def _geometry_features(self, h_V, idx, frames, points_fn):
+    def _geometry_features(self, h_V, idx, frames, points_fn, rel=None):
         """[B, L, K, 9*n_points] frame-invariant point features — see the
-        module-level ``geometry_features`` for the math + layout notes."""
+        module-level ``geometry_features`` for the math + layout notes.
+        With ``rel`` (static relative transforms), the local-frame path is
+        used instead: the gather moves local points in the stream dtype."""
         B, L = idx.shape[:2]
         p_local = points_fn(h_V).reshape(B, L, self.n_points, 3)
+        if rel is not None:
+            return geometry_features_local(p_local, idx, rel,
+                                           stream_dtype=self.dtype)
         return geometry_features(p_local, idx, frames)
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask_V=None, mask_attend=None,
                  deterministic: bool = True, fused: bool = False,
-                 do_edge_update: bool = True, fused_layer: bool = False):
+                 do_edge_update: bool = True, fused_layer: bool = False,
+                 rel=None):
         frames = scale_translation(bb_frames_from_atom14(X), 1.0 / self.position_scale)
 
         if fused_layer and not self.is_initializing():
@@ -298,7 +391,10 @@ class InvariantPointLayer(nn.Module):
         kw = dict(edge_dim=self.edge_dim, geom_dim=9 * self.n_points,
                   act=self.act, dtype=self.dtype)
 
-        geom_in_kernel = fused == "geom" and not self.is_initializing()
+        # the in-kernel-geometry path works on global points; with the
+        # local-frame rel cache active it falls back to the standard fused
+        # kernel over precomputed (local-path) features
+        geom_in_kernel = fused == "geom" and rel is None and not self.is_initializing()
         B, L = idx.shape[:2]
 
         points_node = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
@@ -307,7 +403,7 @@ class InvariantPointLayer(nn.Module):
             msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw).geom_fused(
                 h_V, h_E, idx, p_local, frames, mask_attend, pool=True)
         else:
-            geom = self._geometry_features(h_V, idx, frames, points_node)
+            geom = self._geometry_features(h_V, idx, frames, points_node, rel)
             msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)(
                 h_V, h_E, idx, geom, mask_attend, pool=True,
                 fused=bool(fused) and fused != "geom")
@@ -333,7 +429,7 @@ class InvariantPointLayer(nn.Module):
                 e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw).geom_fused(
                     h_V, h_E, idx, p_local, frames, mask_attend, pool=False)
             else:
-                geom = self._geometry_features(h_V, idx, frames, points_edge)
+                geom = self._geometry_features(h_V, idx, frames, points_edge, rel)
                 e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)(
                     h_V, h_E, idx, geom, mask_attend, pool=False,
                     fused=bool(fused) and fused != "geom")
@@ -422,9 +518,16 @@ class MessagePassingStack(nn.Module):
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask, deterministic: bool = True,
                  fused: bool = False, skip_last_edge_update: bool = False,
-                 fused_layer: bool = False, mask_attend=None):
+                 fused_layer: bool = False, mask_attend=None,
+                 geometry_local: bool = False, rel=None):
         if mask_attend is None:
             mask_attend = self.attend_mask(mask, idx)
+        if geometry_local and rel is None:
+            # no cached transforms (training / uncached eval): compute them
+            # once per forward — they are shared by all layers and passes
+            frames = scale_translation(bb_frames_from_atom14(X),
+                                       1.0 / self.position_scale)
+            rel = relative_frame_transforms(frames, idx)
 
         for layer in range(self.num_layers):
             # the final layer's edge update feeds nothing (only h_V is
@@ -439,7 +542,7 @@ class MessagePassingStack(nn.Module):
                     dtype=self.dtype, edge_dim=self.edge_dim,
                 )(h_V, h_E, idx, X, mask, mask_attend, deterministic, fused,
                   do_edge_update=not (last and skip_last_edge_update),
-                  fused_layer=fused_layer)
+                  fused_layer=fused_layer, rel=rel)
             else:
                 h_V, h_E = VanillaMPNNLayer(
                     self.hidden_dim, self.dropout, self.act,
