@@ -275,3 +275,36 @@ def test_proximal_sequence_parallel_matches_single_device():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(res.losses), np.asarray(single.losses),
                                rtol=2e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_local_geometry_sampler_matches_single_device():
+    """geometry_mode='local' under SPMD: the static rel-transform cache
+    shards over the data axis with the batch, and the sharded sampler
+    output equals the single-device one (layout only, no numerics)."""
+    from __graft_entry__ import _synthetic_batch
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.parallel import batch_sharding, make_mesh, replicated
+
+    model = TorsionalDiffusion.create(
+        NetworkConfig(geometry_mode="local"), SampleConfig())
+    batch = _synthetic_batch(B=4, L=48)
+    params = model.init(jax.random.key(0), batch)
+    key = jax.random.key(3)
+
+    single = np.asarray(jax.jit(
+        lambda p, k, b: model.sample(p, k, b, n_steps=2))(params, key, batch))
+
+    mesh = make_mesh(4, model_parallel=1)
+    rep = replicated(mesh)
+    b_shard = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+    fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=2),
+                 in_shardings=(rep, rep, b_shard),
+                 out_shardings=batch_sharding(mesh))
+    multi = np.asarray(fn(jax.device_put(params, rep),
+                          jax.device_put(key, rep),
+                          jax.device_put(batch, b_shard)))
+    # SPMD partitioning reorders fusions; 1e-4 rad is far below any
+    # physically meaningful chi difference (same budget as the f32
+    # local-vs-global sampler parity test)
+    np.testing.assert_allclose(multi, single, atol=1e-4)
