@@ -1,0 +1,136 @@
+"""A/B benchmarks for measured-option decisions (PERF.md methodology:
+scan-chained repeats inside one executable, transport-floor subtraction,
+min-of-5). Two suites:
+
+  python tools/bench_variants.py sampler   # geometry_mode global vs local
+  python tools/bench_variants.py train     # f32 vs bf16 training step
+
+Run on the real chip; prints one JSON line per configuration.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _timeit(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _floor(jax):
+    tiny = jax.jit(lambda s: s + 1.0)
+    float(tiny(jax.numpy.zeros(())))
+    return min(_timeit(lambda: float(tiny(jax.numpy.zeros(())))) for _ in range(5))
+
+
+def bench_sampler():
+    import os
+
+    from packppi_tpu.utils.platform import configure_platform, enable_compilation_cache
+    configure_platform(os.environ.get("PACKPPI_BENCH_PLATFORM"))
+    enable_compilation_cache()
+    import jax
+
+    from packppi_tpu.data import stack_batch
+    from packppi_tpu.geometry import atom14_coords_from_torsions
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.structure import from_pdb_file
+    from packppi_tpu.structure.featurize import featurize
+
+    fixture = os.environ.get(
+        "PACKPPI_BENCH_FIXTURE",
+        str(Path(__file__).parent.parent / "tests/fixtures/t1124.pdb"))
+    R = int(os.environ.get("PACKPPI_BENCH_R", "16"))
+    feats = featurize(from_pdb_file(fixture, mse_to_met=True))
+    batch = stack_batch([feats])
+    floor = _floor(jax)
+
+    # the fused Pallas message kernel is TPU-only; on other backends the
+    # smoke run compares the unfused variants
+    on_tpu = jax.default_backend().startswith(("tpu", "axon"))
+    configs = [
+        ("global_bf16_fused", NetworkConfig(compute_dtype="bfloat16", fused_messages=True)),
+        ("local_bf16_fused", NetworkConfig(compute_dtype="bfloat16", fused_messages=True,
+                                           geometry_mode="local")),
+        ("local_bf16_unfused", NetworkConfig(compute_dtype="bfloat16",
+                                             geometry_mode="local")),
+    ] if on_tpu else [
+        ("global_bf16_unfused", NetworkConfig(compute_dtype="bfloat16")),
+        ("local_bf16_unfused", NetworkConfig(compute_dtype="bfloat16",
+                                             geometry_mode="local")),
+    ]
+    for label, cfg in configs:
+        model = TorsionalDiffusion.create(cfg, SampleConfig())
+        params = model.init(jax.random.key(0), batch)
+
+        def pack(params, key, batch):
+            sc = model.sample(params, key, batch, n_steps=30)
+            coords = atom14_coords_from_torsions(batch.X, batch.residue_type,
+                                                 batch.BB_D, sc)
+            return coords.sum()
+
+        @jax.jit
+        def pack_repeat(params, key, batch, keys):
+            def body(acc, k):
+                return acc + pack(params, k, batch), None
+            out, _ = jax.lax.scan(body, pack(params, key, batch), keys)
+            return out
+
+        keys = jax.random.split(jax.random.key(42), R - 1)
+        float(pack_repeat(params, jax.random.key(1), batch, keys))  # compile
+        total = min(_timeit(lambda: float(
+            pack_repeat(params, jax.random.key(k), batch, keys))) for k in range(5))
+        print(json.dumps({"config": label,
+                          "t1124_pack_s": round(max(total - floor, 1e-9) / R, 5)}))
+
+
+def bench_train():
+    import os
+
+    from packppi_tpu.utils.platform import configure_platform, enable_compilation_cache
+    configure_platform(os.environ.get("PACKPPI_BENCH_PLATFORM"))
+    enable_compilation_cache()
+    import jax
+    import optax
+
+    from __graft_entry__ import _synthetic_batch
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.train.diffusion_task import init_state, make_train_step
+
+    floor = _floor(jax)
+    for B, L in [(1, 3072), (4, 1024)]:
+        batch = _synthetic_batch(B=B, L=L)
+        for dtype in ["float32", "bfloat16"]:
+            model = TorsionalDiffusion.create(
+                NetworkConfig(compute_dtype=dtype), SampleConfig())
+            opt = optax.adamw(1e-4)
+            state = init_state(model, jax.random.key(0), batch, opt)
+            step = make_train_step(model, opt)
+
+            @jax.jit
+            def steps(state, batch, n_dummy):
+                def body(s, _):
+                    s2, loss = step(s, batch)
+                    return s2, loss
+                s, losses = jax.lax.scan(body, state, n_dummy)
+                return s, losses.sum()
+
+            R = 8
+            dummy = jax.numpy.zeros(R)
+            s2, _ = steps(state, batch, dummy)  # compile + warm
+            jax.block_until_ready(s2.params)
+            total = min(_timeit(lambda: float(steps(state, batch, dummy)[1]))
+                        for _ in range(3))
+            print(json.dumps({"config": f"train_B{B}_L{L}_{dtype}",
+                              "step_s": round(max(total - floor, 1e-9) / R, 5)}))
+
+
+if __name__ == "__main__":
+    suite = sys.argv[1] if len(sys.argv) > 1 else "sampler"
+    {"sampler": bench_sampler, "train": bench_train}[suite]()
