@@ -63,11 +63,16 @@ class AffinityNet(nn.Module):
                  h_pret_wt, h_pret_mt, mut_mask, deterministic: bool = True):
         c = self.cfg
         if self.mode == "network":
+            # message/FFN compute dtype flows into the trainable submodules
+            # too (the frozen backbone gets it via its own NetworkConfig) —
+            # the mutation stack carries the same [B, L, K, H] streams
+            dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
             # shared trainable submodules, applied to both variants
             encoder = ProteinEncoder(
                 node_features=c.node_features, edge_features=c.edge_features,
                 time_embedding_dim=0,  # mutation encoder has no time channel
-                num_rbf=c.num_rbf, top_k=c.top_k, name="mutation_encoder")
+                num_rbf=c.num_rbf, top_k=c.top_k, dtype=dtype,
+                name="mutation_encoder")
             seq_embed = nn.Embed(21, c.hidden_dim, name="seq_embedding")
             mut_bias = nn.Embed(2, c.hidden_dim, name="mut_bias")
             fuse1, fuse2 = Dense(c.hidden_dim), Dense(c.hidden_dim)
@@ -76,7 +81,7 @@ class AffinityNet(nn.Module):
                 n_points=c.n_points, dropout=c.dropout, act=c.act,
                 position_scale=c.position_scale, use_ipmp=c.use_ipmp,
                 k_neighbors=c.k_neighbors, edge_dim=c.edge_features,
-                name="mutation_mpnn")
+                dtype=dtype, name="mutation_mpnn")
 
             local = local_subgraph_mask(wild.X[:, :, 1, :], mut_mask)
             mut_flag = jnp.clip(mut_mask.astype(jnp.int32), 0, 1)
@@ -89,7 +94,13 @@ class AffinityNet(nn.Module):
                     batch.chain_indices, local, batch.residue_index, None)
                 seq = seq_embed(batch.residue_type)
                 h = fuse2(nn.relu(fuse1(jnp.concatenate([h_pret, h_mut, seq], -1))))
-                return stack(h + bias, h_E, idx, batch.X, local, deterministic)
+                h = h + bias
+                # enter the stack in the stream dtype (same pattern as
+                # ChiScoreNetwork.__call__ — else the bf16 knob is inert
+                # for the trainable message streams)
+                if dtype is not None:
+                    h, h_E = h.astype(dtype), h_E.astype(dtype)
+                return stack(h, h_E, idx, batch.X, local, deterministic)
 
             h_wt = encode(wild, h_pret_wt)
             h_mt = encode(mut, h_pret_mt)

@@ -15,6 +15,12 @@ def configure_platform(platform: Optional[str] = None) -> None:
     if platform:
         import jax
 
+        # keep the CPU backend registered alongside a forced accelerator:
+        # host-side metric paths pin eager work to it so writer threads
+        # never contend with the accelerator dispatch queue
+        # (utils.analysis.get_metric)
+        if platform not in ("cpu",) and "cpu" not in platform.split(","):
+            platform = f"{platform},cpu"
         jax.config.update("jax_platforms", platform)
     enable_compilation_cache()
 

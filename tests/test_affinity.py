@@ -162,3 +162,28 @@ def test_loss_esm_weighted_padding_exact():
     padded = float(model.loss_esm(params, pad(wt), pad(mt),
                                   jnp.concatenate([ddg, jnp.zeros(1)]), w))
     np.testing.assert_allclose(padded, plain, rtol=1e-5)
+
+
+def test_affinity_bf16_tracks_f32(brs):
+    """model.compute_dtype=bfloat16 must reach the TRAINABLE mutation
+    stack (not just the frozen backbone): predictions stay finite and
+    track the f32 model, and the gradient through the bf16 streams is
+    finite and f32-typed."""
+    feats = skempi_features(brs, [parse_mutation("KA25A")], ddg=2.0)
+    batch = stack_affinity_batch([feats])
+    m32 = AffinityModel.create(NetworkConfig(), mode="network")
+    m16 = AffinityModel.create(NetworkConfig(compute_dtype="bfloat16"),
+                               mode="network")
+    kb, kn, kd = jax.random.split(jax.random.key(0), 3)
+    backbone = m32.backbone.init(kb, batch.wild())
+    params = m32.init(kn, batch, backbone)  # same tree for both models
+
+    d32, _ = m32.predict(params, backbone, batch)
+    d16, _ = m16.predict(params, backbone, batch)
+    assert np.isfinite(float(d16[0]))
+    assert abs(float(d16[0]) - float(d32[0])) < max(0.05 * abs(float(d32[0])), 0.05)
+
+    g = jax.grad(lambda p: m16.loss(p, backbone, kd, batch))(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert all(l.dtype == jnp.float32 for l in leaves)

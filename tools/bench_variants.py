@@ -32,9 +32,8 @@ def _floor(jax):
 def bench_sampler():
     import os
 
-    from packppi_tpu.utils.platform import configure_platform, enable_compilation_cache
-    configure_platform(os.environ.get("PACKPPI_BENCH_PLATFORM"))
-    enable_compilation_cache()
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(os.environ.get("PACKPPI_BENCH_PLATFORM"))  # enables the compile cache too
     import jax
 
     from packppi_tpu.data import stack_batch
@@ -93,9 +92,8 @@ def bench_sampler():
 def bench_train():
     import os
 
-    from packppi_tpu.utils.platform import configure_platform, enable_compilation_cache
-    configure_platform(os.environ.get("PACKPPI_BENCH_PLATFORM"))
-    enable_compilation_cache()
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(os.environ.get("PACKPPI_BENCH_PLATFORM"))  # enables the compile cache too
     import jax
     import optax
 
