@@ -525,3 +525,23 @@ def test_train_diffusion_early_stopping(tmp_path):
     # seed-deterministic), far short of max_epochs
     assert 2 <= result["epochs_run"] <= 6
     assert np.isfinite(result["best_val_loss"])
+
+
+def test_configure_platform_keeps_cpu_backend(monkeypatch):
+    """A forced accelerator platform must keep the CPU backend registered
+    (host metric paths pin eager work there — utils.analysis.get_metric)."""
+    import jax
+
+    from packppi_tpu.utils.platform import configure_platform
+
+    recorded = {}
+    monkeypatch.setattr(jax.config, "update",
+                        lambda k, v: recorded.setdefault(k, v))
+    configure_platform("axon")
+    assert recorded["jax_platforms"] == "axon,cpu"
+    recorded.clear()
+    configure_platform("cpu")
+    assert recorded["jax_platforms"] == "cpu"
+    recorded.clear()
+    configure_platform("tpu,cpu")
+    assert recorded["jax_platforms"] == "tpu,cpu"
