@@ -31,13 +31,21 @@ from packppi_tpu.models.torsional_diffusion import TorsionalDiffusion
 
 
 def local_subgraph_mask(X_ca: jnp.ndarray, mut_mask: jnp.ndarray,
-                        radius: float = 10.0) -> jnp.ndarray:
+                        radius: float = 10.0,
+                        residue_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Residues whose CA is within ``radius`` of any mutated residue's CA
-    (reference: src/models/AffinityPrediction.py:124-145)."""
+    (reference: src/models/AffinityPrediction.py:124-145). ``residue_mask``
+    excludes padding rows — their CA sits at the origin, which would
+    otherwise join the subgraph whenever a mutated CA lies within
+    ``radius`` of (0,0,0), making predictions depend on the padding
+    bucket."""
     d = jnp.sqrt(jnp.sum(
         (X_ca[:, :, None, :] - X_ca[:, None, :, :]) ** 2, -1) + 1e-12)
     near = (d < radius) & (mut_mask[:, None, :] > 0)
-    return near.any(-1).astype(jnp.float32)
+    local = near.any(-1).astype(jnp.float32)
+    if residue_mask is not None:
+        local = local * residue_mask
+    return local
 
 
 class DdgHead(nn.Module):
@@ -83,7 +91,8 @@ class AffinityNet(nn.Module):
                 k_neighbors=c.k_neighbors, edge_dim=c.edge_features,
                 dtype=dtype, name="mutation_mpnn")
 
-            local = local_subgraph_mask(wild.X[:, :, 1, :], mut_mask)
+            local = local_subgraph_mask(wild.X[:, :, 1, :], mut_mask,
+                                        residue_mask=wild.residue_mask)
             mut_flag = jnp.clip(mut_mask.astype(jnp.int32), 0, 1)
             bias = mut_bias(mut_flag) * (mut_flag > 0)[..., None]  # padding_idx-0
 

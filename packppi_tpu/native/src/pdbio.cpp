@@ -2,7 +2,7 @@
 //
 // The hot host-side path of the data loader. Behavior mirrors the Python
 // reference parser in packppi_tpu/structure/protein.py (itself contract-
-// matched to the reference framework): ATOM records only, waters dropped,
+// matched to the reference framework): ATOM+HETATM records, waters dropped,
 // optional MSE->MET, non-standard residues skipped, chains in sorted id
 // order, residues stable-sorted by number, global insertion-code offset,
 // per-chain duplicate-number bumping, highest-occupancy altLoc wins.
@@ -159,7 +159,12 @@ int ppi_parse_pdb(const char* text, long text_len, int model_idx,
       seen_model = true;
       continue;
     }
-    if (model != model_idx || len < 54 || memcmp(line, "ATOM", 4) != 0)
+    // HETATM must be included: MSE (selenomethionine) and other modified
+    // residues are deposited as HETATM; the downstream water /
+    // non-standard filters drop everything else (matches the Python
+    // parser and the reference's BioPython behavior)
+    if (model != model_idx || len < 54 ||
+        (memcmp(line, "ATOM", 4) != 0 && memcmp(line, "HETATM", 6) != 0))
       continue;
 
     char chain = line[21];

@@ -48,7 +48,14 @@ class _ResidueRecord:
 
 
 def _parse_atom_records(pdb_str: str, model_idx: int = 0):
-    """Group ATOM records into per-chain ordered residue records."""
+    """Group ATOM/HETATM records into per-chain ordered residue records.
+
+    HETATM must be included: selenomethionine (MSE) and other modified
+    residues are deposited as HETATM in wwPDB files, and the reference's
+    BioPython parser iterates hetero residues too (reference:
+    src/utils/protein.py:100-121 — MSE->MET conversion happens before the
+    non-standard filter). Waters and ligands are dropped downstream by
+    ``discard_water`` / ``ignore_non_std``, exactly as there."""
     chains: dict[str, dict[tuple[int, str], _ResidueRecord]] = {}
     model = 0
     seen_model_record = False
@@ -61,7 +68,7 @@ def _parse_atom_records(pdb_str: str, model_idx: int = 0):
             continue
         if rec.startswith("ENDMDL"):
             continue
-        if model != model_idx or not rec.startswith("ATOM"):
+        if model != model_idx or not (rec.startswith("ATOM") or rec == "HETATM"):
             continue
         name = line[12:16].strip()
         resname = line[17:20].strip()

@@ -187,3 +187,17 @@ def test_affinity_bf16_tracks_f32(brs):
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_local_subgraph_mask_excludes_padding():
+    """Padding rows (CA at the origin) must never join the mutation-local
+    subgraph even when a mutated CA sits within radius of (0,0,0) — else
+    the ddG prediction depends on the padding bucket."""
+    X_ca = jnp.zeros((1, 6, 3)).at[0, 0].set(jnp.array([3.0, 0, 0]))
+    X_ca = X_ca.at[0, 1].set(jnp.array([5.0, 0, 0]))
+    # rows 2-5 are padding at the origin; mutation at row 0 (8 A from origin)
+    mut = jnp.zeros((1, 6)).at[0, 0].set(1)
+    rm = jnp.zeros((1, 6)).at[0, :2].set(1.0)
+    m = np.asarray(local_subgraph_mask(X_ca, mut, residue_mask=rm))
+    assert m[0, 0] == 1 and m[0, 1] == 1
+    assert (m[0, 2:] == 0).all(), "padding rows leaked into the subgraph"

@@ -10,10 +10,11 @@ from packppi_tpu.structure import from_pdb_string
 
 
 def _atom(serial, name, resname, chain, resseq, x, y=0.0, z=0.0,
-          icode=" ", altloc=" ", occ=1.0, bfac=10.0, element=None):
+          icode=" ", altloc=" ", occ=1.0, bfac=10.0, element=None,
+          record="ATOM"):
     element = element or name[0]
     pad_name = name if len(name) == 4 else f" {name}"
-    return (f"{'ATOM':<6}{serial:>5} {pad_name:<4}{altloc:>1}{resname:>3} "
+    return (f"{record:<6}{serial:>5} {pad_name:<4}{altloc:>1}{resname:>3} "
             f"{chain:>1}{resseq:>4}{icode:>1}   "
             f"{x:>8.3f}{y:>8.3f}{z:>8.3f}{occ:>6.2f}{bfac:>6.2f}"
             f"          {element:>2}  ")
@@ -92,9 +93,13 @@ def test_model_selection():
 
 
 def test_mse_to_met():
+    # MSE is deposited as HETATM in real wwPDB files (the reference's
+    # BioPython parser iterates hetero residues; ours must accept the
+    # HETATM record type too or MSE silently vanishes)
     lines = []
     for i, (name, el) in enumerate([("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O"), ("CB", "C"), ("CG", "C"), ("SE", "SE")]):
-        lines.append(_atom(i + 1, name, "MSE", "A", 1, float(i), element=el))
+        lines.append(_atom(i + 1, name, "MSE", "A", 1, float(i), element=el,
+                           record="HETATM"))
     prot = _parse_both("\n".join(lines), mse_to_met=True)
     from packppi_tpu.chem import RESTYPES
     assert RESTYPES[prot.aaindex[0]] == "M"
@@ -111,3 +116,16 @@ def test_empty_and_garbage_lines():
     text = "\n".join(["REMARK whatever", "", "ATOM  garbage", *_gly(1, "A", 1, 0.0), "END"])
     prot = _parse_both(text)
     assert len(prot.aaindex) == 1
+
+
+def test_hetatm_ligands_and_waters_still_dropped():
+    """Accepting HETATM records must not admit ligands or waters: the
+    non-standard and water filters run after record parsing (reference
+    order: src/utils/protein.py:100-121)."""
+    lines = [
+        *_gly(1, "A", 1, 0.0),
+        _atom(10, "O", "HOH", "A", 90, 30.0, record="HETATM"),
+        _atom(11, "C1", "NAG", "A", 91, 40.0, record="HETATM"),
+    ]
+    prot = _parse_both("\n".join(lines))
+    assert len(prot.aaindex) == 1  # only the glycine survives
