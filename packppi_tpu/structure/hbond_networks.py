@@ -39,6 +39,7 @@ import numpy as np
 
 from packppi_tpu.chem import ATOM14_NAMES, RESTYPE_1TO3, RESTYPES
 from packppi_tpu.structure.hydrogens import (
+    disulfide_cysteines,
     FLIP_GROUPS,
     H_BOND_LENGTH,
     H_SPEC,
@@ -128,6 +129,7 @@ def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
     resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
                 for i in prot.aaindex]
     _, _, _, flat_index, sep = graph
+    ss_cys = disulfide_cysteines(prot)  # no HG rotor on half-cystines
 
     # parent -> heavy atoms within 2 bonds, built ONCE (a per-rotor scan of
     # the full sep table would be O(n_rotors * |sep|) host time)
@@ -190,6 +192,8 @@ def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
         for heavy, n_h, refs in rotor_specs:
             if heavy not in coords or any(r not in coords for r in refs):
                 continue
+            if heavy == "SG" and i in ss_cys:
+                continue  # disulfide-bonded SG carries no hydrogen
             parent_flat = int(flat_index[i, slot[heavy]])
             if parent_flat < 0:
                 continue

@@ -484,6 +484,26 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
     return dataclasses.replace(prot, atom_positions=X), flipped
 
 
+def disulfide_cysteines(prot) -> set:
+    """Residue indices of half-cystines: CYS whose SG lies within 2.5 A of
+    another CYS SG. Reduce never protonates disulfide-bonded SG (the
+    hydrogen is displaced by the S-S bond); placing a phantom HG there
+    inflates the clashscore denominator and can register overlaps against
+    the partner residue that MolProbity would never report."""
+    X = np.asarray(prot.atom_positions, np.float64)
+    mask = np.asarray(prot.atom_mask).astype(bool)
+    sg_slot = ATOM14_NAMES["CYS"].index("SG")
+    cys = [i for i, aa in enumerate(prot.aaindex)
+           if aa < len(RESTYPES) and RESTYPES[aa] == "C" and mask[i, sg_slot]]
+    out = set()
+    for ii, a in enumerate(cys):
+        for b in cys[ii + 1:]:
+            if np.linalg.norm(X[a, sg_slot] - X[b, sg_slot]) < 2.5:
+                out.add(a)
+                out.add(b)
+    return out
+
+
 def add_hydrogens(prot, optimize_rotors: bool = False, graph=None,
                   rotor_phase_overrides=None) -> dict:
     """Place ideal hydrogens on a parsed Protein.
@@ -512,6 +532,7 @@ def add_hydrogens(prot, optimize_rotors: bool = False, graph=None,
 
     pos, pres, pslot, polar = [], [], [], []
     rotors = []  # (first_H_index, n_h, x, parent, dref, blen, symmetric)
+    ss_cys = disulfide_cysteines(prot)  # no HG on half-cystines (Reduce)
 
     def emit(i, slot_names, heavy, hs):
         s = slot_names.index(heavy)
@@ -556,6 +577,8 @@ def add_hydrogens(prot, optimize_rotors: bool = False, graph=None,
         for heavy, n_h, geom, refs in H_SPEC.get(rn, []):
             if heavy not in coords or any(r not in coords for r in refs):
                 continue
+            if heavy == "SG" and i in ss_cys:
+                continue  # disulfide-bonded SG carries no hydrogen
             blen = H_BOND_LENGTH[heavy[0]]
             x = coords[heavy]
             if geom == "t1":

@@ -310,3 +310,35 @@ class TestSpikeIntegral:
         small = float(probe_spike_measure(1.0, 1.0, 2.0 - o))
         large = float(probe_spike_measure(1.8, 1.8, 3.6 - o))
         assert large > small * 1.2
+
+
+def test_disulfide_cys_not_protonated():
+    """Half-cystines (SG-SG < 2.5 A) get no HG — Reduce never protonates
+    disulfide-bonded SG; a free cysteine still does."""
+    from packppi_tpu.structure.hydrogens import disulfide_cysteines
+
+    # 2FTL (trypsin + BPTI) is disulfide-rich
+    prot = from_pdb_file("tests/fixtures/2ftl.pdb", mse_to_met=True)
+    ss = disulfide_cysteines(prot)
+    assert len(ss) >= 2 and len(ss) % 2 == 0  # pairs of half-cystines
+
+    from packppi_tpu.chem import ATOM14_NAMES
+    sg_slot = ATOM14_NAMES["CYS"].index("SG")
+    hyd = add_hydrogens(prot)
+    sg_h_residues = {int(r) for r, s in zip(hyd["parent_res"], hyd["parent_slot"])
+                     if s == sg_slot and RESTYPES[prot.aaindex[r]] == "C"}
+    assert not (sg_h_residues & ss), "HG placed on a disulfide-bonded SG"
+
+    # control: break one disulfide by moving its partner far away -> HG back
+    a = sorted(ss)[0]
+    pos = np.array(prot.atom_positions)
+    partners = sorted(ss - {a})
+    for b in partners:
+        if np.linalg.norm(pos[a, sg_slot] - pos[b, sg_slot]) < 2.5:
+            pos[b, sg_slot] += 100.0
+    freed = dataclasses.replace(prot, atom_positions=pos)
+    assert a not in disulfide_cysteines(freed)
+    hyd2 = add_hydrogens(freed)
+    sg_h2 = {int(r) for r, s in zip(hyd2["parent_res"], hyd2["parent_slot"])
+             if s == sg_slot}
+    assert a in sg_h2, "free cysteine lost its HG"
