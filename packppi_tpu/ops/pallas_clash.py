@@ -40,7 +40,7 @@ _SG_SLOT = 5.0
 
 def _clash_kernel(pos_ref, meta_ref, out_row_ref, out_col_ref, col_acc, *,
                   tol_soft: float, blk: int):
-    """Grid (rows, cols). pos [4, A]: x, y, z, |x|^2. meta [4, A]: exists,
+    """Grid (rows, cols). pos [3, A]: x, y, z. meta [4, A]: exists,
     radius, residue_index, atom14 slot. Outputs [1, A] row/col sums."""
     r = pl.program_id(0)
     c = pl.program_id(1)
@@ -49,7 +49,7 @@ def _clash_kernel(pos_ref, meta_ref, out_row_ref, out_col_ref, col_acc, *,
 
     rows = pl.ds(r * blk, blk)
     cols = pl.ds(c * blk, blk)
-    pr = pos_ref[:, rows]                  # [4, blk]
+    pr = pos_ref[:, rows]                  # [3, blk]
     pc = pos_ref[:, cols]
     mr = meta_ref[:, rows]
     mc = meta_ref[:, cols]
@@ -103,9 +103,10 @@ def _clash_pallas_single(positions, atom_exists, atom_radius, residue_index,
     A = L * 14
     A_pad = -(-A // blk) * blk
 
-    pos = positions.reshape(A, 3).astype(jnp.float32)
-    sq = jnp.sum(pos * pos, -1, keepdims=True)
-    pos4 = jnp.pad(jnp.concatenate([pos, sq], 1), ((0, A_pad - A), (0, 0))).T
+    # [3, A]: the rejected Gram-matrix formulation needed a |x|^2 row; the
+    # VPU broadcast-diff kernel reads only x/y/z
+    pos3 = jnp.pad(positions.reshape(A, 3).astype(jnp.float32),
+                   ((0, A_pad - A), (0, 0))).T
 
     slot = jnp.tile(jnp.arange(14, dtype=jnp.float32), (L,))
     meta = jnp.stack([
@@ -136,7 +137,7 @@ def _clash_pallas_single(positions, atom_exists, atom_radius, residue_index,
         ],
         scratch_shapes=[pltpu.VMEM((1, A_pad), jnp.float32)],
         interpret=interpret,
-    )(pos4, meta)
+    )(pos3, meta)
 
     return (out_row[0, :A] + out_col[0, :A]).reshape(L, 14)
 

@@ -281,16 +281,24 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
         return (1000.0 * (overlap >= SERIOUS).sum(axis=(1, 2))
                 + spike.sum(axis=(1, 2)) - reward)
 
-    # interaction edges: any-state probe clouds within reach
+    # interaction edges: any-state probe clouds within reach. ONE tree over
+    # all clouds + query_pairs, then point-pairs map to group-pairs — the
+    # per-pair query_ball_tree loop this replaces was O(n_groups^2) Python
+    # tree-to-tree queries (same edge set, exact)
     clouds = [np.concatenate([s.pos for s in g.states], 0) for g in groups]
-    trees = [cKDTree(c) for c in clouds]
     n = len(groups)
     edges = [[] for _ in range(n)]
-    for a in range(n):
-        for b in range(a + 1, n):
-            if any(trees[a].query_ball_tree(trees[b], cutoff)):
-                edges[a].append(b)
-                edges[b].append(a)
+    if n > 1:
+        labels = np.concatenate([np.full(len(c), gi, np.int64)
+                                 for gi, c in enumerate(clouds)])
+        cloud_tree = cKDTree(np.concatenate(clouds, 0))
+        pp = cloud_tree.query_pairs(cutoff, output_type="ndarray")
+        ga, gb = labels[pp[:, 0]], labels[pp[:, 1]]
+        cross = ga != gb
+        for a, b in set(zip(np.minimum(ga, gb)[cross].tolist(),
+                            np.maximum(ga, gb)[cross].tolist())):
+            edges[a].append(b)
+            edges[b].append(a)
 
     # connected components
     comp_of = [-1] * n

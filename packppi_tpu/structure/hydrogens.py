@@ -395,18 +395,10 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
                       for nm, r in zip(g_names, g_res)], bool)
     res_idx = np.asarray(g_res)
 
+    # _cell_list's closure reads the mutable buckets dict at call time, so
+    # move_atom's bucket updates below stay visible through it
     cell = cutoff
-    buckets, _near = _cell_list(coords, cell)
-    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-               for dz in (-1, 0, 1)]
-
-    def near(point):
-        key = tuple(np.floor(point / cell).astype(np.int64))
-        out = []
-        for off in offsets:
-            out.extend(buckets.get((key[0] + off[0], key[1] + off[1],
-                                    key[2] + off[2]), []))
-        return np.asarray(out, np.int64)
+    buckets, near = _cell_list(coords, cell)
 
     def move_atom(flat, new_pos):
         old_key = tuple(np.floor(coords[flat] / cell).astype(np.int64))
