@@ -51,6 +51,7 @@ from packppi_tpu.structure.hydrogens import (
     heavy_graph,
     is_hbond_acceptor,
     probe_spike_measure,
+    static_hydrogen_probes,
 )
 
 
@@ -215,7 +216,7 @@ def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
 
 def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
                             cutoff: float = 4.0, max_enum: int = 4096,
-                            n_passes: int = 20):
+                            n_passes: int = 20, static_h=None):
     """Jointly optimize interacting flip/rotor groups.
 
     Returns ``(new_prot, n_flipped, rotor_phases, info)`` where
@@ -229,13 +230,27 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
 
     graph = graph or heavy_graph(prot)
     coords, names, res_of, flat_index, _sep = graph
-    coords = np.asarray(coords, np.float64).reshape(-1, 3)
-    radii = np.asarray([PROBE_RADII.get(nm[0], 1.7) for nm in names])
     resnames = [RESTYPE_1TO3[RESTYPES[prot.aaindex[r]]]
                 if prot.aaindex[r] < len(RESTYPES) else "UNK" for r in res_of]
-    acceptor = np.asarray([is_hbond_acceptor(rn, nm)
-                           for rn, nm in zip(resnames, names)], bool)
-    res_idx = np.asarray(res_of)
+    # environment = heavy atoms + STATIC hydrogens (fixed donors/contacts;
+    # hydrogens.static_hydrogen_probes) — a group's acceptor near a fixed
+    # backbone/ARG/TRP NH must score the H-bond REWARD, not a penalty on
+    # the donor's heavy atom
+    sh = static_h if static_h is not None else \
+        static_hydrogen_probes(prot, flat_index)
+    n_heavy = len(names)
+    coords = np.concatenate([
+        np.asarray(coords, np.float64).reshape(-1, 3), sh["positions"]], 0)
+    radii = np.concatenate([
+        [PROBE_RADII.get(nm[0], 1.7) for nm in names], sh["radius"]])
+    acceptor = np.concatenate([
+        np.asarray([is_hbond_acceptor(rn, nm)
+                    for rn, nm in zip(resnames, names)], bool),
+        np.zeros(len(sh["res"]), bool)])
+    env_polar_h = np.concatenate([np.zeros(n_heavy, bool), sh["polar"]])
+    res_idx = np.concatenate([np.asarray(res_of), sh["res"]])
+    env_parent = np.concatenate([np.arange(n_heavy, dtype=np.int64),
+                                 sh["parent_flat"]])
 
     groups = _movable_groups(prot, graph, n_phases)
     if not groups:
@@ -256,12 +271,14 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
         """[S] unary costs for every state in one broadcast evaluation.
         The environment is the union of all states' neighborhoods — atoms
         outside a particular state's reach contribute 0 overlap, so this
-        equals the per-state query."""
+        equals the per-state query. Exclusions apply to an env atom's
+        PARENT heavy index, covering static H attached to excluded/movable
+        heavies."""
         allpos = np.concatenate([s.pos for s in g.states], 0)
         cand = sorted({j for row in tree.query_ball_point(allpos, cutoff)
                        for j in row})
-        cand = [j for j in cand if j not in g.exclude_flat
-                and j not in flip_movable
+        cand = [j for j in cand if int(env_parent[j]) not in g.exclude_flat
+                and int(env_parent[j]) not in flip_movable
                 and (g.kind == "rotor" or res_idx[j] != g.res)]
         S = len(g.states)
         if not cand:
@@ -273,7 +290,10 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
                           0.0, None)                          # [S, n, K]
         spike = probe_spike_measure(g.states[0].radius[:, None],
                                     radii[ca][None], d)
-        hb = (g.states[0].polar_h[:, None] & acceptor[ca][None])[None] & \
+        # H-bonds in both directions: group polar H -> env acceptor, and
+        # group acceptor <- env static polar H
+        hb = ((g.states[0].polar_h[:, None] & acceptor[ca][None]) |
+              (g.states[0].acceptor[:, None] & env_polar_h[ca][None]))[None] & \
             (overlap < HBOND_OVERLAP_CAP)
         reward = HBOND_REWARD_WEIGHT * np.where(hb, spike, 0.0).sum(axis=(1, 2))
         overlap = np.where(hb, 0.0, overlap)

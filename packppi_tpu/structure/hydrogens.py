@@ -361,7 +361,8 @@ def flip_group_hydrogens(rn, pos_of):
     return hs
 
 
-def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
+def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None,
+                         static_h=None):
     """Reduce-style ASN/GLN/HIS flip decisions by steric cost.
 
     Returns ``(flipped_prot, n_flipped)``: a copy of ``prot`` in which each
@@ -389,11 +390,21 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
                 for i in prot.aaindex]
 
     g_coords, g_names, g_res, flat_index, _sep = graph or heavy_graph(prot)
-    coords = np.array(g_coords)               # mutable copy, updated on flips
-    radii = np.asarray([PROBE_RADII.get(nm[0], 1.7) for nm in g_names])
-    acc = np.asarray([is_hbond_acceptor(resnames[r], nm)
-                      for nm, r in zip(g_names, g_res)], bool)
-    res_idx = np.asarray(g_res)
+    n_heavy = len(g_names)
+    # environment = heavy atoms + STATIC hydrogens (fixed donors/contacts —
+    # see static_hydrogen_probes); movable rotor/flip hydrogens excluded
+    sh = static_h if static_h is not None else \
+        static_hydrogen_probes(prot, flat_index)
+    coords = np.concatenate([np.array(g_coords).reshape(-1, 3),
+                             sh["positions"]], 0)   # mutable copy
+    radii = np.concatenate([
+        [PROBE_RADII.get(nm[0], 1.7) for nm in g_names], sh["radius"]])
+    acc = np.concatenate([
+        np.asarray([is_hbond_acceptor(resnames[r], nm)
+                    for nm, r in zip(g_names, g_res)], bool),
+        np.zeros(len(sh["res"]), bool)])
+    env_polar_h = np.concatenate([np.zeros(n_heavy, bool), sh["polar"]])
+    res_idx = np.concatenate([np.asarray(g_res), sh["res"]])
 
     # _cell_list's closure reads the mutable buckets dict at call time, so
     # move_atom's bucket updates below stay visible through it
@@ -411,18 +422,22 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
     _group_hydrogens = flip_group_hydrogens
 
     def cost(i, rn, group_slots, positions, pos_of):
-        """Reduce-style score of the group's atoms + their hydrogens vs heavy
-        atoms of OTHER residues: serious clashes dominate, the Probe spike
-        measure (``probe_spike_measure``, the analytic dot-density limit)
-        breaks ties, and polar-H-vs-acceptor contact below the waiver cap is
-        REWARDED (it scores as an H-bond in the final Probe count — see the
-        HBOND_REWARD_WEIGHT note)."""
-        probes = [(p, PROBE_RADII.get(ATOM14_NAMES[rn][s][0], 1.7), False)
+        """Reduce-style score of the group's atoms + their hydrogens vs
+        OTHER residues' heavy atoms AND static hydrogens: serious clashes
+        dominate, the Probe spike measure (``probe_spike_measure``, the
+        analytic dot-density limit) breaks ties, and H-bond contact below
+        the waiver cap is REWARDED in BOTH directions — the group's polar H
+        donating to an environment acceptor, and the group's acceptor
+        (OD1/OE1/ND1...) receiving from a fixed donor's H (backbone NH,
+        ARG/TRP NH — exactly the contacts flips exist to satisfy)."""
+        probes = [(p, PROBE_RADII.get(ATOM14_NAMES[rn][s][0], 1.7), False,
+                   is_hbond_acceptor(rn, ATOM14_NAMES[rn][s]))
                   for s, p in zip(group_slots, positions)]
-        probes += [(h, PROBE_H_POLAR_RADIUS if polar_h else PROBE_H_RADIUS, polar_h)
+        probes += [(h, PROBE_H_POLAR_RADIUS if polar_h else PROBE_H_RADIUS,
+                    polar_h, False)
                    for h, polar_h in _group_hydrogens(rn, pos_of)]
         total = 0.0
-        for p, r_self, polar_h in probes:
+        for p, r_self, polar_h, acceptor_self in probes:
             na = near(p)
             if not len(na):
                 continue
@@ -432,8 +447,13 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None):
             dist = np.linalg.norm(coords[other] - p, axis=-1)
             overlap = np.clip((radii[other] + r_self) - dist, 0, None)
             spike = probe_spike_measure(r_self, radii[other], dist)
+            hb = np.zeros(len(other), bool)
             if polar_h:
-                hb = acc[other] & (overlap < HBOND_OVERLAP_CAP)
+                hb |= acc[other]
+            if acceptor_self:
+                hb |= env_polar_h[other]
+            hb &= overlap < HBOND_OVERLAP_CAP
+            if hb.any():
                 total -= HBOND_REWARD_WEIGHT * float(spike[hb].sum())
                 overlap = np.where(hb, 0.0, overlap)
                 spike = np.where(hb, 0.0, spike)
@@ -496,26 +516,13 @@ def disulfide_cysteines(prot) -> set:
     return out
 
 
-def add_hydrogens(prot, optimize_rotors: bool = False, graph=None,
-                  rotor_phase_overrides=None) -> dict:
-    """Place ideal hydrogens on a parsed Protein.
-
-    Returns dict with:
-      positions [n_H, 3], parent_res [n_H], parent_atom14 [n_H] (slot of the
-      bonded heavy atom), polar [n_H] bool (bonded to N/O/S).
-    Residues missing a geometric reference atom (disordered side chains)
-    silently skip the affected hydrogens, as Reduce does.
-
-    ``optimize_rotors=True`` reproduces Reduce's rotatable-hydrogen search:
-    each rotor group (methyls, OH/SH, NH3+) is spun over candidate phases
-    and the phase minimizing steric overlap against the heavy-atom cloud
-    (bonded/1-3/1-4 and H-bondable contacts excluded) is kept.
-
-    ``rotor_phase_overrides`` maps ``(res_index, heavy_slot) -> phase`` for
-    rotors whose phase was already decided jointly (see
-    :mod:`packppi_tpu.structure.hbond_networks`); those skip the greedy
-    search and are placed at the given phase.
-    """
+def _place_hydrogens(prot):
+    """Ideal-H placement core (geometry only, no optimization): returns raw
+    lists ``(pos, pres, pslot, polar, rotors)``; ``rotors`` holds every
+    rotor-group emission ``(first_H_index, n_h, x, parent, dref, blen,
+    symmetric)``. Shared by :func:`add_hydrogens` and
+    :func:`static_hydrogen_probes` (which must NOT route through the public
+    entry point — callers/tests may wrap it)."""
     X = np.asarray(prot.atom_positions, np.float64)
     mask = np.asarray(prot.atom_mask).astype(bool)
     L = X.shape[0]
@@ -587,6 +594,39 @@ def add_hydrogens(prot, optimize_rotors: bool = False, graph=None,
                 hs = _rotor(x, coords[refs[0]], coords[refs[1]], blen, n_h)
             emit(i, names, heavy, hs)
 
+    return pos, pres, pslot, polar, rotors
+
+
+def add_hydrogens(prot, optimize_rotors: bool = False, graph=None,
+                  rotor_phase_overrides=None, static_h=None) -> dict:
+    """Place ideal hydrogens on a parsed Protein.
+
+    Returns dict with:
+      positions [n_H, 3], parent_res [n_H], parent_slot [n_H] (atom14 slot
+      of the bonded heavy atom), polar [n_H] bool (bonded to N/O/S),
+      rotor_h [n_H] bool (H an orientation search may move).
+    Residues missing a geometric reference atom (disordered side chains)
+    silently skip the affected hydrogens, as Reduce does.
+
+    ``optimize_rotors=True`` reproduces Reduce's rotatable-hydrogen search:
+    each rotor group (methyls, OH/SH, NH3+) is spun over candidate phases
+    and the phase minimizing steric overlap against the environment
+    (heavy atoms + static hydrogens; bonded/1-3/1-4 and H-bondable
+    contacts excluded).
+
+    ``rotor_phase_overrides`` maps ``(res_index, heavy_slot) -> phase`` for
+    rotors whose phase was already decided jointly (see
+    :mod:`packppi_tpu.structure.hbond_networks`); those skip the greedy
+    search and are placed at the given phase. ``static_h`` takes a
+    precomputed :func:`static_hydrogen_probes` result (recomputed here
+    otherwise when optimizing).
+    """
+    pos, pres, pslot, polar, rotors = _place_hydrogens(prot)
+
+    # every rotor emission, BEFORE override pinning filters the list (the
+    # returned rotor_h mask must cover pinned rotors too)
+    rotor_spans = [(r[0], r[1]) for r in rotors]
+
     if rotor_phase_overrides:
         pinned = []
         for r in rotors:
@@ -603,19 +643,75 @@ def add_hydrogens(prot, optimize_rotors: bool = False, graph=None,
 
     if optimize_rotors and rotors:
         _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
-                               graph=graph)
+                               graph=graph, static_h=static_h)
 
+    rotor_h = np.zeros(len(pos), bool)
+    for first, n_h in rotor_spans:
+        rotor_h[first:first + n_h] = True
     return {
         "positions": np.asarray(pos, np.float64).reshape(-1, 3),
         "parent_res": np.asarray(pres, np.int64),
         "parent_slot": np.asarray(pslot, np.int64),
         "polar": np.asarray(polar, bool),
+        "rotor_h": rotor_h,  # H whose position an orientation search may move
+    }
+
+
+def static_hydrogen_probes(prot, flat_index=None):
+    """Hydrogens no orientation search can move: every ideal H except rotor
+    hydrogens (OH/SH/NH3+/methyl phases) and hydrogens on flip-group atoms
+    (ASN/GLN/HIS terminal groups — regenerated per flip state).
+
+    These are Reduce's FIXED donors/contacts: backbone amide H, ARG/TRP NH,
+    CH hydrogens. The orientation scorers (greedy flips, greedy rotors,
+    joint networks) add them to their environments so, e.g., a flip whose
+    two states are clash-equivalent resolves toward the one whose acceptor
+    receives an H-bond from a fixed backbone NH — previously only the donor
+    HEAVY atom was visible and the contact scored as a small penalty.
+
+    Returns dict: positions [m,3], radius [m], polar [m], res [m],
+    parent_flat [m] (flat heavy index from ``flat_index``, -1 if absent —
+    used for Probe's bonded-contact exclusions).
+    """
+    from packppi_tpu.utils.metrics import PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS
+
+    h_pos, h_res, h_slot, h_polar, rotors = _place_hydrogens(prot)
+    rotor_h = np.zeros(len(h_pos), bool)
+    for first, n_h, *_ in rotors:
+        rotor_h[first:first + n_h] = True
+    hyd = {"positions": np.asarray(h_pos, np.float64).reshape(-1, 3),
+           "parent_res": np.asarray(h_res, np.int64),
+           "parent_slot": np.asarray(h_slot, np.int64),
+           "polar": np.asarray(h_polar, bool)}
+    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
+                for i in prot.aaindex]
+    flip_atoms = {rn: {a for p in FLIP_GROUPS[rn] for a in p}
+                  for rn in FLIP_GROUPS}
+    keep = ~rotor_h
+    for k, (r, s) in enumerate(zip(hyd["parent_res"], hyd["parent_slot"])):
+        rn = resnames[r]
+        if rn in flip_atoms and ATOM14_NAMES[rn][s] in flip_atoms[rn]:
+            keep[k] = False
+    res = hyd["parent_res"][keep]
+    slots = hyd["parent_slot"][keep]
+    if flat_index is None:
+        parent_flat = np.full(len(res), -1, np.int64)
+    else:
+        parent_flat = np.asarray([int(flat_index[r, s])
+                                  for r, s in zip(res, slots)], np.int64)
+    polar = hyd["polar"][keep]
+    return {
+        "positions": hyd["positions"][keep],
+        "radius": np.where(polar, PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS),
+        "polar": polar,
+        "res": res,
+        "parent_flat": parent_flat,
     }
 
 
 def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
                            n_phases: int = 12, cutoff: float = 4.0,
-                           graph=None):
+                           graph=None, static_h=None):
     """Reduce-style rotatable-H search: spin each rotor group and keep the
     phase with the least vdW interpenetration against nearby heavy atoms.
 
@@ -628,17 +724,32 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
         PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS, PROBE_RADII)
 
     coords, names, res_of, flat_index, sep = graph or heavy_graph(prot)
-    radii = np.asarray([PROBE_RADII.get(nm[0], 1.7) for nm in names])
     _rn = [RESTYPE_1TO3[RESTYPES[prot.aaindex[r]]]
            if prot.aaindex[r] < len(RESTYPES) else "UNK" for r in res_of]
-    acceptor = np.asarray([is_hbond_acceptor(rn, nm)
-                           for rn, nm in zip(_rn, names)])
 
-    # KD-tree over heavy atoms, all rotor neighborhoods in one batched query
+    # environment = heavy atoms + STATIC hydrogens (fixed donors/contacts,
+    # static_hydrogen_probes); env H are clash targets like any atom —
+    # a rotor must not be steered into an H...H collision with a backbone
+    # amide H it previously could not see
+    sh = static_h if static_h is not None else \
+        static_hydrogen_probes(prot, flat_index)
+    coords = np.concatenate([
+        np.asarray(coords, np.float64).reshape(-1, 3), sh["positions"]], 0)
+    n_heavy = len(names)
+    radii = np.concatenate([
+        [PROBE_RADII.get(nm[0], 1.7) for nm in names], sh["radius"]])
+    acceptor = np.concatenate([
+        np.asarray([is_hbond_acceptor(rn, nm) for rn, nm in zip(_rn, names)]),
+        np.zeros(len(sh["res"]), bool)])
+    # flat heavy index used for bonded-contact exclusion: an H stands one
+    # bond from its parent, so exclusion thresholds shift by one
+    env_parent = np.concatenate([np.arange(n_heavy, dtype=np.int64),
+                                 sh["parent_flat"]])
+    env_is_h = np.arange(len(coords)) >= n_heavy
+
+    # KD-tree over the environment, all rotor neighborhoods in one query
     from scipy.spatial import cKDTree
 
-    coords = np.asarray(coords, np.float64).reshape(-1, 3)
-    n_heavy = len(coords)
     tree = cKDTree(coords)
     rotor_x = np.asarray([r[2] for r in rotors], np.float64).reshape(-1, 3)
     neighborhoods = tree.query_ball_point(rotor_x, cutoff)
@@ -654,12 +765,18 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
         is_polar = polar[first]
         h_rad = PROBE_H_POLAR_RADIUS if is_polar else PROBE_H_RADIUS
 
-        # drop heavy atoms bonded within 2 of the parent (H adds one bond)
+        # bonded-contact exclusion via each env atom's PARENT heavy index:
+        # rotor H is 1 bond from its parent, env H 1 bond from theirs, so a
+        # heavy env atom within 2 parent-bonds (H-heavy distance <= 3) or an
+        # env H within 1 (H-H distance <= 3) never scores — Probe's >=4 rule
         cand = np.asarray(cand, np.int64)
+        cp = env_parent[cand]
         bsep = lookup_bond_sep(sep_keys, sep_vals,
-                               np.minimum(cand, parent_flat),
-                               np.maximum(cand, parent_flat), n_heavy)
-        keep = cand[(cand != parent_flat) & (bsep > 2)]
+                               np.minimum(cp, parent_flat),
+                               np.maximum(cp, parent_flat), n_heavy)
+        bsep = np.where(cp == parent_flat, 0, bsep)
+        keep = cand[np.where(env_is_h[cand], bsep > 1, bsep > 2)
+                    & (cp != parent_flat)]
         if len(keep) == 0:
             continue
         kc = coords[keep]

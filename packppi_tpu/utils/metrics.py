@@ -109,14 +109,19 @@ def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP,
     from packppi_tpu.chem import RESTYPE_1TO3, RESTYPES
     from packppi_tpu.structure.hbond_networks import optimize_hbond_networks
     from packppi_tpu.structure.hydrogens import (
-        add_hydrogens, heavy_graph, is_hbond_acceptor)
+        add_hydrogens, heavy_graph, is_hbond_acceptor, static_hydrogen_probes)
 
     # Reduce step 1: ASN/GLN/HIS flips + polar-rotor phases decided JOINTLY
     # over interacting H-bond networks (shares the graph; only coordinates
-    # change, so the bond topology carries over)
+    # change, so the bond topology carries over). Static hydrogens (fixed
+    # donors/contacts) are computed ONCE and shared by every orientation
+    # scorer — their positions never depend on flips (flip-group H are
+    # excluded from the static set) or rotor phases.
     graph = heavy_graph(prot)
     coords_arr, names, res_of, flat_index, heavy_dist = graph
-    prot, n_flipped, rotor_phases, _ = optimize_hbond_networks(prot, graph=graph)
+    static_h = static_hydrogen_probes(prot, flat_index)
+    prot, n_flipped, rotor_phases, _ = optimize_hbond_networks(
+        prot, graph=graph, static_h=static_h)
     if n_flipped:
         valid = flat_index >= 0
         coords_arr = np.array(coords_arr)
@@ -132,7 +137,7 @@ def probe_clashscore(prot, overlap: float = SERIOUS_OVERLAP,
 
     # ---- append hydrogens: network-decided rotor phases pinned, remaining
     # (singleton) rotors greedy-optimized against the heavy cloud
-    hyd = add_hydrogens(prot, optimize_rotors=True, graph=graph,
+    hyd = add_hydrogens(prot, optimize_rotors=True, graph=graph, static_h=static_h,
                         rotor_phase_overrides=rotor_phases)
     h_parent = [int(flat_index[r, s]) for r, s in
                 zip(hyd["parent_res"], hyd["parent_slot"])]

@@ -105,8 +105,8 @@ def _count_with(prot, optimize):
     orig = hmod.add_hydrogens
     try:
         hmod_add = lambda p, optimize_rotors=False, graph=None, \
-            rotor_phase_overrides=None: orig(
-            p, optimize_rotors=optimize, graph=graph,
+            rotor_phase_overrides=None, static_h=None: orig(
+            p, optimize_rotors=optimize, graph=graph, static_h=static_h,
             rotor_phase_overrides=rotor_phase_overrides if optimize else None)
         mmod_probe = mmod.probe_clashscore
         # patch through the module attr the metric imports at call time
@@ -342,3 +342,31 @@ def test_disulfide_cys_not_protonated():
     sg_h2 = {int(r) for r, s in zip(hyd2["parent_res"], hyd2["parent_slot"])
              if s == sg_slot}
     assert a in sg_h2, "free cysteine lost its HG"
+
+
+def test_static_hydrogen_probes_composition():
+    """The static-H environment contains exactly the hydrogens no
+    orientation search can move: backbone amide H present, rotor hydrogens
+    (OH/SH/NH3+/methyl) and flip-group hydrogens (ASN ND2 etc.) absent."""
+    from packppi_tpu.chem import ATOM14_NAMES
+    from packppi_tpu.structure.hydrogens import static_hydrogen_probes
+
+    prot = from_pdb_file(FIXTURE, chain_id="D", mse_to_met=True)
+    sh = static_hydrogen_probes(prot)
+    resnames = [RESTYPE_1TO3[RESTYPES[i]] for i in prot.aaindex]
+
+    from packppi_tpu.structure.hydrogens import _place_hydrogens
+    pos, pres, pslot, polar, rotors = _place_hydrogens(prot)
+    assert len(sh["positions"]) < len(pos)   # something was excluded
+
+    names_of = lambda r, s: ATOM14_NAMES[resnames[r]][s]
+    # reconstruct kept (res, slot) pairs by matching positions
+    kept = {tuple(np.round(p, 4)) for p in sh["positions"]}
+    kept_names = {names_of(r, s) for p, r, s in zip(pos, pres, pslot)
+                  if tuple(np.round(p, 4)) in kept}
+    dropped_names = {names_of(r, s) for p, r, s in zip(pos, pres, pslot)
+                     if tuple(np.round(p, 4)) not in kept}
+    assert "N" in kept_names                       # backbone amide H
+    assert not {"OG", "OG1", "SG", "OH", "NZ"} & kept_names  # rotors out
+    assert "ND2" not in kept_names                 # flip-group H out
+    assert {"OG", "OH", "NZ"} & dropped_names      # rotors were placed
