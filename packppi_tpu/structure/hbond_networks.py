@@ -51,7 +51,7 @@ from packppi_tpu.structure.hydrogens import (
     heavy_graph,
     is_hbond_acceptor,
     probe_spike_measure,
-    static_hydrogen_probes,
+    scoring_environment,
 )
 
 
@@ -72,6 +72,10 @@ class Group:
     # flip: per-state [(atom14_slot, xyz)] to write back; rotor: phases list
     apply_info: object
     exclude_flat: set           # static heavy atoms this group never scores
+    # parent heavies whose STATIC H this group never scores (rotors: within
+    # 1 bond of the rotor parent — H-H bond distance <= 3; heavier exclusion
+    # than exclude_flat would drop H at H-H distance 4, which Probe counts)
+    exclude_flat_h: set = None
 
 
 def _probe_cost(a: Probes, b: Probes) -> float:
@@ -132,13 +136,17 @@ def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
     _, _, _, flat_index, sep = graph
     ss_cys = disulfide_cysteines(prot)  # no HG rotor on half-cystines
 
-    # parent -> heavy atoms within 2 bonds, built ONCE (a per-rotor scan of
-    # the full sep table would be O(n_rotors * |sep|) host time)
+    # parent -> heavy atoms within 1 / 2 bonds, built ONCE (a per-rotor scan
+    # of the full sep table would be O(n_rotors * |sep|) host time)
     within2: dict[int, list[int]] = {}
+    within1: dict[int, list[int]] = {}
     for (a, b), d in sep.items():
         if d <= 2:
             within2.setdefault(a, []).append(b)
             within2.setdefault(b, []).append(a)
+            if d <= 1:
+                within1.setdefault(a, []).append(b)
+                within1.setdefault(b, []).append(a)
 
     groups: list[Group] = []
     for i in range(L):
@@ -207,10 +215,13 @@ def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
                              polar_h=np.ones(n_h, bool),
                              acceptor=np.zeros(n_h, bool))
                       for p in range(len(phases))]
-            # heavy atoms <= 2 bonds from the parent never score (H is <= 3)
+            # heavy atoms <= 2 bonds from the parent never score (H-heavy
+            # distance <= 3); static H only when their parent is <= 1 bond
+            # away (H-H distance <= 3) — same rule as the greedy path
             excl = {parent_flat, *within2.get(parent_flat, ())}
+            excl_h = {parent_flat, *within1.get(parent_flat, ())}
             groups.append(Group("rotor", i, states,
-                                ((i, slot[heavy]), phases), excl))
+                                ((i, slot[heavy]), phases), excl, excl_h))
     return groups
 
 
@@ -226,31 +237,16 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
     """
     from scipy.spatial import cKDTree
 
-    from packppi_tpu.utils.metrics import PROBE_RADII
-
     graph = graph or heavy_graph(prot)
-    coords, names, res_of, flat_index, _sep = graph
-    resnames = [RESTYPE_1TO3[RESTYPES[prot.aaindex[r]]]
-                if prot.aaindex[r] < len(RESTYPES) else "UNK" for r in res_of]
+    _gc, names, res_of, flat_index, _sep = graph
     # environment = heavy atoms + STATIC hydrogens (fixed donors/contacts;
-    # hydrogens.static_hydrogen_probes) — a group's acceptor near a fixed
+    # hydrogens.scoring_environment) — a group's acceptor near a fixed
     # backbone/ARG/TRP NH must score the H-bond REWARD, not a penalty on
     # the donor's heavy atom
-    sh = static_h if static_h is not None else \
-        static_hydrogen_probes(prot, flat_index)
-    n_heavy = len(names)
-    coords = np.concatenate([
-        np.asarray(coords, np.float64).reshape(-1, 3), sh["positions"]], 0)
-    radii = np.concatenate([
-        [PROBE_RADII.get(nm[0], 1.7) for nm in names], sh["radius"]])
-    acceptor = np.concatenate([
-        np.asarray([is_hbond_acceptor(rn, nm)
-                    for rn, nm in zip(resnames, names)], bool),
-        np.zeros(len(sh["res"]), bool)])
-    env_polar_h = np.concatenate([np.zeros(n_heavy, bool), sh["polar"]])
-    res_idx = np.concatenate([np.asarray(res_of), sh["res"]])
-    env_parent = np.concatenate([np.arange(n_heavy, dtype=np.int64),
-                                 sh["parent_flat"]])
+    env = scoring_environment(prot, graph, static_h)
+    coords, radii, acceptor = env["coords"], env["radii"], env["acceptor"]
+    env_polar_h, res_idx = env["polar_h"], env["res"]
+    env_parent, env_is_h = env["parent"], env["is_h"]
 
     groups = _movable_groups(prot, graph, n_phases)
     if not groups:
@@ -277,7 +273,10 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
         allpos = np.concatenate([s.pos for s in g.states], 0)
         cand = sorted({j for row in tree.query_ball_point(allpos, cutoff)
                        for j in row})
-        cand = [j for j in cand if int(env_parent[j]) not in g.exclude_flat
+        excl_h = g.exclude_flat_h if g.exclude_flat_h is not None else g.exclude_flat
+        cand = [j for j in cand
+                if int(env_parent[j]) not in
+                (excl_h if env_is_h[j] else g.exclude_flat)
                 and int(env_parent[j]) not in flip_movable
                 and (g.kind == "rotor" or res_idx[j] != g.res)]
         S = len(g.states)

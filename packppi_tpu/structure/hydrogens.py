@@ -389,22 +389,12 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None,
     resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
                 for i in prot.aaindex]
 
-    g_coords, g_names, g_res, flat_index, _sep = graph or heavy_graph(prot)
-    n_heavy = len(g_names)
-    # environment = heavy atoms + STATIC hydrogens (fixed donors/contacts —
-    # see static_hydrogen_probes); movable rotor/flip hydrogens excluded
-    sh = static_h if static_h is not None else \
-        static_hydrogen_probes(prot, flat_index)
-    coords = np.concatenate([np.array(g_coords).reshape(-1, 3),
-                             sh["positions"]], 0)   # mutable copy
-    radii = np.concatenate([
-        [PROBE_RADII.get(nm[0], 1.7) for nm in g_names], sh["radius"]])
-    acc = np.concatenate([
-        np.asarray([is_hbond_acceptor(resnames[r], nm)
-                    for nm, r in zip(g_names, g_res)], bool),
-        np.zeros(len(sh["res"]), bool)])
-    env_polar_h = np.concatenate([np.zeros(n_heavy, bool), sh["polar"]])
-    res_idx = np.concatenate([np.asarray(g_res), sh["res"]])
+    graph = graph or heavy_graph(prot)
+    _gc, g_names, g_res, flat_index, _sep = graph
+    env = scoring_environment(prot, graph, static_h)
+    coords = np.array(env["coords"])    # mutable copy, updated on flips
+    radii, acc = env["radii"], env["acceptor"]
+    env_polar_h, res_idx = env["polar_h"], env["res"]
 
     # _cell_list's closure reads the mutable buckets dict at call time, so
     # move_atom's bucket updates below stay visible through it
@@ -687,11 +677,27 @@ def static_hydrogen_probes(prot, flat_index=None):
                 for i in prot.aaindex]
     flip_atoms = {rn: {a for p in FLIP_GROUPS[rn] for a in p}
                   for rn in FLIP_GROUPS}
+    # a residue's flip-group H only move if the flip is actually MOVABLE
+    # (both atoms of every pair resolved — the same condition the flip
+    # optimizers use); an ASN with OD1 unresolved still places its ND2 H,
+    # nothing will ever move them, so they are static donors
+    mask = np.asarray(prot.atom_mask).astype(bool)
+
+    def _flip_movable(r, rn):
+        names = ATOM14_NAMES[rn]
+        slot = {nm: si for si, nm in enumerate(names) if nm}
+        return all(a in slot and b in slot and mask[r, slot[a]] and mask[r, slot[b]]
+                   for a, b in FLIP_GROUPS[rn])
+
     keep = ~rotor_h
+    movable_cache: dict = {}
     for k, (r, s) in enumerate(zip(hyd["parent_res"], hyd["parent_slot"])):
         rn = resnames[r]
         if rn in flip_atoms and ATOM14_NAMES[rn][s] in flip_atoms[rn]:
-            keep[k] = False
+            if r not in movable_cache:
+                movable_cache[r] = _flip_movable(r, rn)
+            if movable_cache[r]:
+                keep[k] = False
     res = hyd["parent_res"][keep]
     slots = hyd["parent_slot"][keep]
     if flat_index is None:
@@ -709,6 +715,42 @@ def static_hydrogen_probes(prot, flat_index=None):
     }
 
 
+def scoring_environment(prot, graph, static_h=None):
+    """Flat scoring-environment arrays shared by all three orientation
+    scorers: heavy atoms first, then static hydrogens (see
+    :func:`static_hydrogen_probes`). Returns a dict with ``coords``,
+    ``radii``, ``acceptor``, ``polar_h``, ``res`` (owning residue),
+    ``parent`` (flat heavy index: identity for heavies, bonded parent for
+    H — Probe bond-distance exclusions route through it), ``is_h``, and
+    ``n_heavy``. One definition — the per-scorer variation is only which
+    columns each uses."""
+    from packppi_tpu.utils.metrics import PROBE_RADII
+
+    g_coords, g_names, g_res, flat_index, _sep = graph
+    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
+                for i in prot.aaindex]
+    sh = static_h if static_h is not None else \
+        static_hydrogen_probes(prot, flat_index)
+    n_heavy = len(g_names)
+    coords = np.concatenate([np.asarray(g_coords, np.float64).reshape(-1, 3),
+                             sh["positions"]], 0)
+    return {
+        "coords": coords,
+        "radii": np.concatenate([
+            [PROBE_RADII.get(nm[0], 1.7) for nm in g_names], sh["radius"]]),
+        "acceptor": np.concatenate([
+            np.asarray([is_hbond_acceptor(resnames[r], nm)
+                        for nm, r in zip(g_names, g_res)], bool),
+            np.zeros(len(sh["res"]), bool)]),
+        "polar_h": np.concatenate([np.zeros(n_heavy, bool), sh["polar"]]),
+        "res": np.concatenate([np.asarray(g_res), sh["res"]]),
+        "parent": np.concatenate([np.arange(n_heavy, dtype=np.int64),
+                                  sh["parent_flat"]]),
+        "is_h": np.arange(len(coords)) >= n_heavy,
+        "n_heavy": n_heavy,
+    }
+
+
 def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
                            n_phases: int = 12, cutoff: float = 4.0,
                            graph=None, static_h=None):
@@ -723,36 +765,26 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
     from packppi_tpu.utils.metrics import (
         PROBE_H_POLAR_RADIUS, PROBE_H_RADIUS, PROBE_RADII)
 
-    coords, names, res_of, flat_index, sep = graph or heavy_graph(prot)
-    _rn = [RESTYPE_1TO3[RESTYPES[prot.aaindex[r]]]
-           if prot.aaindex[r] < len(RESTYPES) else "UNK" for r in res_of]
-
-    # environment = heavy atoms + STATIC hydrogens (fixed donors/contacts,
-    # static_hydrogen_probes); env H are clash targets like any atom —
-    # a rotor must not be steered into an H...H collision with a backbone
-    # amide H it previously could not see
-    sh = static_h if static_h is not None else \
-        static_hydrogen_probes(prot, flat_index)
-    coords = np.concatenate([
-        np.asarray(coords, np.float64).reshape(-1, 3), sh["positions"]], 0)
-    n_heavy = len(names)
-    radii = np.concatenate([
-        [PROBE_RADII.get(nm[0], 1.7) for nm in names], sh["radius"]])
-    acceptor = np.concatenate([
-        np.asarray([is_hbond_acceptor(rn, nm) for rn, nm in zip(_rn, names)]),
-        np.zeros(len(sh["res"]), bool)])
-    # flat heavy index used for bonded-contact exclusion: an H stands one
-    # bond from its parent, so exclusion thresholds shift by one
-    env_parent = np.concatenate([np.arange(n_heavy, dtype=np.int64),
-                                 sh["parent_flat"]])
-    env_is_h = np.arange(len(coords)) >= n_heavy
+    graph = graph or heavy_graph(prot)
+    _gc, names, res_of, flat_index, sep = graph
+    # environment = heavy atoms + STATIC hydrogens: env H are clash targets
+    # like any atom — a rotor must not be steered into an H...H collision
+    # with a backbone amide H it previously could not see
+    env = scoring_environment(prot, graph, static_h)
+    coords, radii, acceptor = env["coords"], env["radii"], env["acceptor"]
+    env_parent, env_is_h = env["parent"], env["is_h"]
+    n_heavy = env["n_heavy"]
 
     # KD-tree over the environment, all rotor neighborhoods in one query
     from scipy.spatial import cKDTree
 
     tree = cKDTree(coords)
     rotor_x = np.asarray([r[2] for r in rotors], np.float64).reshape(-1, 3)
-    neighborhoods = tree.query_ball_point(rotor_x, cutoff)
+    # query radius covers the H's reach: the phase sweep places H up to
+    # blen from the parent, so atoms at cutoff of any H position sit up to
+    # cutoff + blen from the query center
+    reach = cutoff + np.asarray([r[5] for r in rotors], np.float64)
+    neighborhoods = tree.query_ball_point(rotor_x, reach)
 
     sep_keys, sep_vals = encode_bond_sep(sep, n_heavy)
 
@@ -774,7 +806,6 @@ def _optimize_rotor_phases(prot, pos, pres, pslot, polar, rotors,
         bsep = lookup_bond_sep(sep_keys, sep_vals,
                                np.minimum(cp, parent_flat),
                                np.maximum(cp, parent_flat), n_heavy)
-        bsep = np.where(cp == parent_flat, 0, bsep)
         keep = cand[np.where(env_is_h[cand], bsep > 1, bsep > 2)
                     & (cp != parent_flat)]
         if len(keep) == 0:
