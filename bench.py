@@ -2,7 +2,7 @@
 
 Measures the full PackPPI-MSC inference pipeline on-device: 30 reverse-
 diffusion network evaluations (one lax.scan) + torsion->atom14 coordinate
-reconstruction, on the T1124 complex (739 residues) — the reference's own
+reconstruction, on the T1124 complex (741 residues, 768 bucket) — the reference's own
 worked example (reference: README.md:84-97).
 
 ``vs_baseline``: the reference publishes no timing, so the baseline is the
