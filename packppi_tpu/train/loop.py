@@ -412,27 +412,36 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
         return model.loss_esm(params, wt, mt, ddg, weights=w)
 
     n_devices = cfg.trainer.get("n_devices") or jax.device_count()
+    mp = int(cfg.trainer.get("model_parallel", 1) or 1)
     # never scale the global batch past what the split can fill (tiny
     # datasets on many-device hosts would otherwise yield zero batches)
-    n_devices = max(1, min(n_devices,
-                           len(splits["train"]) // max(1, cfg.data.batch_size)))
-    global_batch = cfg.data.batch_size * n_devices
+    dp = max(1, min(n_devices // mp,
+                    len(splits["train"]) // max(1, cfg.data.batch_size)))
+    n_devices = dp * mp
+    global_batch = cfg.data.batch_size * dp
     if n_devices > 1:
-        # DP over the mesh: embedding batches shard over 'data', the small
-        # ddG head replicates; ragged eval tails pad with zero-weight rows
-        from packppi_tpu.parallel import batch_sharding, make_mesh, replicated
+        # DP over the mesh: embedding batches shard over 'data'; with
+        # trainer.model_parallel > 1 the wide ESM projection kernels
+        # FSDP-shard over 'model' (small tensors replicate); ragged eval
+        # tails pad with zero-weight rows
+        from packppi_tpu.parallel import (batch_sharding, make_mesh,
+                                          param_shardings, replicated)
 
-        mesh = make_mesh(n_devices, model_parallel=1)
+        mesh = make_mesh(n_devices, model_parallel=mp)
         log.info(f"mesh: {dict(mesh.shape)}")
         rep, rows = replicated(mesh), batch_sharding(mesh)
-        params = jax.device_put(params, rep)
-        opt_state = jax.device_put(opt_state, rep)
+        p_shard = param_shardings(mesh, params)
+        o_shard = jax.tree.map(
+            lambda x: param_shardings(mesh, x) if isinstance(x, dict) else rep,
+            opt_state, is_leaf=lambda x: isinstance(x, dict))
+        params = jax.device_put(params, p_shard)
+        opt_state = jax.device_put(opt_state, o_shard)
         if ema is not None:
-            ema = jax.device_put(ema, rep)
+            ema = jax.device_put(ema, p_shard)
         put = lambda *xs: tuple(jax.device_put(x, rows) for x in xs)
-        train_step = jax.jit(_train_step, in_shardings=(rep, rep, rows, rows, rows),
-                             out_shardings=(rep, rep, rep))
-        eval_loss = jax.jit(_eval_loss, in_shardings=(rep, rows, rows, rows, rows),
+        train_step = jax.jit(_train_step, in_shardings=(p_shard, o_shard, rows, rows, rows),
+                             out_shardings=(p_shard, o_shard, rep))
+        eval_loss = jax.jit(_eval_loss, in_shardings=(p_shard, rows, rows, rows, rows),
                             out_shardings=rep)
     else:
         put = lambda *xs: xs
@@ -442,7 +451,7 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
     def eval_batches(entries):
         for wt, mt, ddg in make_batches(entries, global_batch, False, 0):
             n = len(ddg)
-            pad = -n % max(1, n_devices)
+            pad = -n % max(1, dp)
             if pad:
                 wt = np.concatenate([wt, np.repeat(wt[-1:], pad, 0)], 0)
                 mt = np.concatenate([mt, np.repeat(mt[-1:], pad, 0)], 0)
@@ -530,7 +539,8 @@ def train_affinity(cfg) -> dict:
             return feats
 
     n_devices = cfg.trainer.n_devices or jax.device_count()
-    global_batch = cfg.data.batch_size * max(1, n_devices)
+    mp = int(cfg.trainer.get("model_parallel", 1) or 1)
+    global_batch = cfg.data.batch_size * max(1, n_devices // mp)
     loaders = {
         "train": BucketedLoader(SkempiDataset(splits["train"]), global_batch,
                                 shuffle=True, seed=cfg.seed, drop_last=True,
@@ -591,26 +601,37 @@ def train_affinity(cfg) -> dict:
         return optax.apply_updates(params, updates), opt_state, loss
 
     if n_devices > 1:
-        # data-parallel: mutation batches shard over 'data'; the (small)
-        # affinity params and frozen backbone replicate
-        from packppi_tpu.parallel import batch_sharding, make_mesh, replicated
+        # data-parallel: mutation batches shard over 'data'; with
+        # trainer.model_parallel > 1 the larger kernels (mutation
+        # encoder/MPNN and the frozen backbone) additionally FSDP-shard over
+        # 'model', as in the diffusion loop — small tensors replicate
+        from packppi_tpu.parallel import (batch_sharding, make_mesh,
+                                          param_shardings, replicated)
 
-        mesh = make_mesh(n_devices, model_parallel=1)
+        mesh = make_mesh(n_devices, model_parallel=mp)
         log.info(f"mesh: {dict(mesh.shape)}")
         rep = replicated(mesh)
+        p_shard = param_shardings(mesh, params)
+        o_shard = jax.tree.map(
+            lambda x: param_shardings(mesh, x) if isinstance(x, dict) else rep,
+            opt_state, is_leaf=lambda x: isinstance(x, dict))
         b_shard = jax.tree.map(lambda _: batch_sharding(mesh), init_batch)
-        params = jax.device_put(params, rep)
-        opt_state = jax.device_put(opt_state, rep)
+        params = jax.device_put(params, p_shard)
+        opt_state = jax.device_put(opt_state, o_shard)
+        # the frozen backbone is a trace-time closure constant; committing it
+        # sharded here makes the jitted steps consume it in that layout
+        backbone_params = jax.device_put(
+            backbone_params, param_shardings(mesh, backbone_params))
         if ema is not None:
-            ema = jax.device_put(ema, rep)
+            ema = jax.device_put(ema, p_shard)
         put_batch = lambda b: jax.device_put(b, b_shard)
         train_step = jax.jit(_train_step,
-                             in_shardings=(rep, rep, rep, b_shard),
-                             out_shardings=(rep, rep, rep))
+                             in_shardings=(p_shard, o_shard, rep, b_shard),
+                             out_shardings=(p_shard, o_shard, rep))
         eval_step = jax.jit(lambda p, k, b: model.loss(p, backbone_params, k, b),
-                            in_shardings=(rep, rep, b_shard), out_shardings=rep)
+                            in_shardings=(p_shard, rep, b_shard), out_shardings=rep)
         predict = jax.jit(lambda p, b: model.predict(p, backbone_params, b)[0],
-                          in_shardings=(rep, b_shard), out_shardings=batch_sharding(mesh))
+                          in_shardings=(p_shard, b_shard), out_shardings=batch_sharding(mesh))
     else:
         put_batch = lambda b: b
         train_step = jax.jit(_train_step)
