@@ -38,6 +38,12 @@ class NetworkConfig:
     # ("geom" additionally computes the point-geometry features inside the
     # kernel — the [B, L, K, 9P] feature tensor never touches HBM)
     fused_messages: object = False
+    # opt-in: route TRAINING through the differentiable fused kernel too
+    # (ops.pallas_ipmp.fused_message_diff — custom-VJP remat backward).
+    # Measured SLOWER than the unfused train step (13-17% at B1/L3072 on
+    # v5e, PERF.md "Fused message kernel in training"), so non-default;
+    # requires fused_messages=True ("geom" stays inference-only).
+    fused_messages_train: bool = False
     fused_layers: bool = False      # step-fused Pallas IPMP layer (inference;
                                     # supersedes fused_messages when set)
     # storage dtype of the sampler's cached static edge embeddings
@@ -158,7 +164,12 @@ class ChiScoreNetwork(nn.Module):
             h_V.astype(dtype) if dtype else h_V,
             h_E.astype(dtype) if dtype else h_E,
             idx, batch.X, batch.residue_mask, deterministic,
-            fused=c.fused_messages if deterministic else False,
+            # the plain fused kernel is differentiable (custom-VJP remat
+            # backward, ops.pallas_ipmp.fused_message_diff), so training MAY
+            # use it — opt-in via fused_messages_train (measured slower than
+            # unfused, PERF.md); the "geom" variant stays inference-only
+            fused=(c.fused_messages if deterministic
+                   else c.fused_messages is True and c.fused_messages_train),
             skip_last_edge_update=skip_last_edge_update and deterministic,
             fused_layer=c.fused_layers and deterministic,
             mask_attend=mask_attend,

@@ -220,8 +220,9 @@ class FactoredMessageMLP(nn.Module):
     runs at [L*K] size.
 
     ``fused=True`` routes through the Pallas kernel
-    (ops.pallas_ipmp.fused_message): the whole chain stays in VMEM, no HBM
-    intermediates (forward-only; inference path).
+    (ops.pallas_ipmp.fused_message_diff): the whole chain stays in VMEM, no
+    HBM intermediates. Differentiable — the custom VJP rematerializes the
+    chain in jnp for the backward pass, so training can use it too.
     """
 
     hidden_dim: int
@@ -297,14 +298,14 @@ class FactoredMessageMLP(nn.Module):
 
     def __call__(self, h_V, h_E, idx, geom, mask_attend=None,
                  pool: bool = False, fused: bool = False,
-                 interpret: bool = False):
+                 interpret: bool = False, blk: int = 128):
         from packppi_tpu.models.layers import _ACTS
 
         per_i = self._mm(h_V, self.Dense_i.kernel)
         per_j = self._mm(h_V, self.Dense_j.kernel)
 
         if fused:
-            from packppi_tpu.ops.pallas_ipmp import fused_message
+            from packppi_tpu.ops.pallas_ipmp import fused_message_diff
 
             He = self.edge_dim
             w_g = self.Dense_e.kernel[He:]
@@ -320,14 +321,16 @@ class FactoredMessageMLP(nn.Module):
             cd = self.dtype or jnp.float32
 
             def one(pi, pj, he, gm, mk):
-                return fused_message(
+                # the differentiable wrapper: kernel forward, remat jnp
+                # backward — inference is the same kernel as before
+                return fused_message_diff(
                     pi, pj, he, gm, mk,
                     self.Dense_e.kernel[:He], w_g,
                     self.Dense_e.bias,
                     self.Dense_1.kernel, self.Dense_1.bias,
                     self.Dense_2.kernel, self.Dense_2.bias,
                     K=idx.shape[-1], act_name=self.act, pool=pool,
-                    compute_dtype=cd, interpret=interpret)
+                    blk=blk, compute_dtype=cd, interpret=interpret)
 
             return jax.vmap(one)(per_i, pjg, h_E, geom.astype(h_E.dtype), mask)
 
@@ -406,7 +409,11 @@ class InvariantPointLayer(nn.Module):
             geom = self._geometry_features(h_V, idx, frames, points_node, rel)
             msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)(
                 h_V, h_E, idx, geom, mask_attend, pool=True,
-                fused=bool(fused) and fused != "geom")
+                fused=bool(fused) and fused != "geom",
+                # jvp: XLA's training fusion context leaves the custom call
+                # less scoped-VMEM headroom — blk=128 overflows the 16M
+                # stack by 128K at B4/L1024 (measured); 64 fits
+                blk=128 if deterministic else 64)
 
         # LayerNorm promotes bf16 inputs to f32 (f32 scale/bias params), so
         # without the .astype(sd) casts the "bf16" streams silently flow f32
@@ -432,7 +439,8 @@ class InvariantPointLayer(nn.Module):
                 geom = self._geometry_features(h_V, idx, frames, points_edge, rel)
                 e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)(
                     h_V, h_E, idx, geom, mask_attend, pool=False,
-                    fused=bool(fused) and fused != "geom")
+                    fused=bool(fused) and fused != "geom",
+                    blk=128 if deterministic else 64)
             # run the residual/LN/FFN chain on a flat [B, L*K, He] stream:
             # 4-D [B, L, K, He] dots push XLA:TPU into a convolution-style
             # emitter with layout-change copies around every FFN matmul,

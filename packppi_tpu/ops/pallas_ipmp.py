@@ -12,8 +12,17 @@ in VMEM per node block — HBM traffic drops to the unavoidable input reads
 plus an [L, hidden] (node) or [L*K, hidden] (edge) output write.
 
 Matmuls run on the MXU in bf16 with f32 accumulation (same numerics as the
-bf16 network path). Forward-only: sampling/inference use it; training takes
-the unfused differentiable path.
+bf16 network path).
+
+Differentiability: ``fused_message_diff`` wraps the kernel in a
+``jax.custom_vjp`` whose backward REMATERIALIZES the chain with plain jnp
+ops and differentiates that (``_reference_message`` mirrors the kernel math
+exactly — same cast points, f32 accumulation). The forward pass stores no
+[L*K, H] intermediates in HBM (the remat trade: backward re-reads the
+kernel inputs and recomputes ~3 matmuls per invocation instead). Inference
+through the wrapper is unchanged — custom_vjp costs nothing without a
+gradient. The raw ``fused_message`` / ``fused_message_geom`` entry points
+stay forward-only.
 """
 from __future__ import annotations
 
@@ -295,3 +304,70 @@ def fused_message(per_i, per_j_gathered, h_E, geom, mask_attend,
     if pool:
         return out[:L]
     return out[: L * K].reshape(L, K, H)
+
+
+def _reference_message(per_i, pj, he, geom, mask, w_he, w_g, b_e, w1, b1,
+                       w2, b2, *, K: int, act_name: str, pool: bool,
+                       compute_dtype):
+    """jnp twin of ``_fused_kernel`` — identical math and cast points
+    (weights in f32 like the kernel's call-site casts, activations cast to
+    ``compute_dtype`` before each MXU dot, f32 accumulation). Used only to
+    derive the backward pass of ``fused_message_diff``."""
+    act = _act(act_name)
+    cd = jnp.dtype(compute_dtype)
+    L, H = per_i.shape
+    f32 = jnp.float32
+    x = jnp.dot(he.reshape(L * K, -1).astype(cd), w_he.astype(f32).astype(cd),
+                preferred_element_type=f32)
+    x = x + jnp.dot(geom.reshape(L * K, -1).astype(cd),
+                    w_g.astype(f32).astype(cd), preferred_element_type=f32)
+    x = x + b_e.astype(f32)
+    x = x.reshape(L, K, H) + per_i.astype(f32)[:, None, :]
+    x = act(x.reshape(L * K, H) + pj.reshape(L * K, H).astype(f32))
+    x = act(jnp.dot(x.astype(cd), w1.astype(f32).astype(cd),
+                    preferred_element_type=f32) + b1.astype(f32))
+    x = jnp.dot(x.astype(cd), w2.astype(f32).astype(cd),
+                preferred_element_type=f32) + b2.astype(f32)
+    if pool:
+        x = x.reshape(L, K, H) * mask.astype(f32)[..., None]
+        return x.sum(axis=1) / float(K)
+    return x.reshape(L, K, H).astype(he.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_message_diff(K: int, act_name: str, pool: bool, blk: int,
+                             compute_dtype_name: str, interpret: bool):
+    """Build (and cache per static config) the custom-VJP-wrapped kernel."""
+    cd = jnp.dtype(compute_dtype_name)
+    kw = dict(K=K, act_name=act_name, pool=pool, compute_dtype=cd)
+
+    def primal(per_i, pj, he, geom, mask, w_he, w_g, b_e, w1, b1, w2, b2):
+        return fused_message(per_i, pj, he, geom, mask, w_he, w_g, b_e,
+                             w1, b1, w2, b2, blk=blk, interpret=interpret, **kw)
+
+    @jax.custom_vjp
+    def f(per_i, pj, he, geom, mask, w_he, w_g, b_e, w1, b1, w2, b2):
+        return primal(per_i, pj, he, geom, mask, w_he, w_g, b_e, w1, b1, w2, b2)
+
+    def fwd(*args):
+        return primal(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda *a: _reference_message(*a, **kw), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_message_diff(per_i, per_j_gathered, h_E, geom, mask_attend,
+                       w_he, w_g, b_e, w1, b1, w2, b2,
+                       K: int = 32, act_name: str = "relu", pool: bool = True,
+                       blk: int = 128, compute_dtype=jnp.bfloat16,
+                       interpret: bool = False):
+    """``fused_message`` with gradients: Pallas kernel forward, rematerialized
+    jnp backward (see module docstring). Same signature/shapes."""
+    f = _make_fused_message_diff(K, act_name, pool, blk,
+                                 jnp.dtype(compute_dtype).name, interpret)
+    return f(per_i, per_j_gathered, h_E, geom, mask_attend,
+             w_he, w_g, b_e, w1, b1, w2, b2)

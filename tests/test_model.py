@@ -138,6 +138,45 @@ def test_fused_messages_match_unfused(small_batch):
     np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=2e-5)
 
 
+def test_fused_messages_gradients_match_unfused(small_batch):
+    """Training-path gradients through the fused message kernel
+    (fused_message_diff: kernel forward, rematerialized-jnp custom-VJP
+    backward, interpret mode on CPU) must match the unfused path's
+    gradients. Locks the remat reference (_reference_message) against the
+    unfused flax math, param grad by param grad."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    from packppi_tpu.models.ipmp import FactoredMessageMLP
+    from unittest import mock
+
+    model_f = TorsionalDiffusion.create(
+        NC(fused_messages=True, fused_messages_train=True), SampleConfig())
+    model_u = TorsionalDiffusion.create(NC(), SampleConfig())
+    params = model_u.init(jax.random.key(0), small_batch)
+    key = jax.random.key(7)
+
+    g_u = jax.grad(lambda p: model_u.loss(p, key, small_batch))(params)
+
+    orig = FactoredMessageMLP.__call__
+
+    def patched(self, *args, **kw):
+        kw["interpret"] = True
+        return orig(self, *args, **kw)
+
+    with mock.patch.object(FactoredMessageMLP, "__call__", patched):
+        g_f = jax.grad(lambda p: model_f.loss(p, key, small_batch))(params)
+
+    flat_u = jax.tree_util.tree_leaves_with_path(g_u)
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_f)}
+    assert len(flat_u) == len(flat_f)
+    for k, v_u in flat_u:
+        v_f = flat_f[jax.tree_util.keystr(k)]
+        scale = max(float(jnp.abs(v_u).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(v_f), np.asarray(v_u), atol=5e-4 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
+
+
 def test_fused_messages_geom_match_unfused(small_batch):
     """The geometry-in-kernel fused message path (fused_messages="geom",
     interpret mode on CPU) must match the unfused jnp path through the full
