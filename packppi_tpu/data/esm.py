@@ -3,10 +3,12 @@
 The reference extracts per-residue ESM-2 650M embeddings with chains joined
 by 20 ``<pad>`` tokens and optional ``<mask>``-ing (reference:
 src/datamodules/components/helper.py:131-169, loaded via torch.hub). Here
-the extractor uses HuggingFace ``transformers`` (facebook/esm2_t33_650M_UR50D)
-when the weights are present locally; in fully-offline deployments,
-embeddings are treated as PRECOMPUTED inputs (``load_precomputed``), which is
-also how the esm-mode trainer consumes them.
+extraction runs on the TPU-native JAX ESM-2 (models/esm2.py) — the HF
+checkpoint (facebook/esm2_t33_650M_UR50D), when present locally, is
+converted once and inference is jit-compiled on-device; a torch backend is
+kept for cross-checking. In fully-offline deployments, embeddings are
+treated as PRECOMPUTED inputs (``load_precomputed``), which is also how
+the esm-mode trainer consumes them.
 """
 from __future__ import annotations
 
@@ -67,33 +69,63 @@ def residue_keep_indices(chain_indices: np.ndarray) -> np.ndarray:
 _extractor_cache = {}
 
 
-def get_esm_extractor(model_name: str = ESM_MODEL_NAME, device: str = "cpu"):
+def get_esm_extractor(model_name: str = ESM_MODEL_NAME, device: str = "cpu",
+                      backend: str = "jax"):
     """Lazily construct a local-only ESM-2 extractor; None when the weights
-    are not available offline."""
-    if model_name in _extractor_cache:
-        return _extractor_cache[model_name]
-    try:
-        from transformers import AutoTokenizer, EsmModel
+    are not available offline.
 
-        tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
-        model = EsmModel.from_pretrained(model_name, local_files_only=True).eval().to(device)
+    ``backend="jax"`` (default): the HF checkpoint's state dict is converted
+    once (models/esm2.convert_hf_esm) and inference runs jit-compiled on the
+    default JAX device — on TPU, the 33-layer 650M transformer is a scan of
+    bf16-capable MXU matmuls (models/esm2.py), where the reference runs the
+    torch model on GPU. ``backend="torch"`` keeps a torch-CPU path for
+    cross-checking. Both use the in-repo fixed ESM alphabet tokenizer, so no
+    tokenizer download is needed."""
+    cache_key = (model_name, backend)
+    if cache_key in _extractor_cache:
+        return _extractor_cache[cache_key]
+    try:
+        from transformers import EsmModel
+
+        model = EsmModel.from_pretrained(model_name, local_files_only=True).eval()
     except Exception:
-        _extractor_cache[model_name] = None
+        _extractor_cache[cache_key] = None
         return None
 
-    def extract(residue_types, chain_indices, mask_positions=None):
-        import torch
+    from packppi_tpu.models.esm2 import (ESM2Config, convert_hf_esm,
+                                         make_extractor, tokenize)
 
+    if backend == "jax":
+        hc = model.config
+        cfg = ESM2Config(vocab_size=hc.vocab_size, hidden_size=hc.hidden_size,
+                         num_layers=hc.num_hidden_layers,
+                         num_heads=hc.num_attention_heads,
+                         intermediate_size=hc.intermediate_size,
+                         layer_norm_eps=hc.layer_norm_eps,
+                         token_dropout=hc.token_dropout,
+                         mask_token_id=hc.mask_token_id,
+                         pad_token_id=hc.pad_token_id)
+        run_tokens = make_extractor(convert_hf_esm(model.state_dict(), cfg), cfg)
+        del model
+    else:
+        model = model.to(device)
+
+        def run_tokens(ids):
+            import torch
+
+            t = torch.tensor(ids[None].astype(np.int64), device=device)
+            with torch.inference_mode():
+                out = model(input_ids=t, attention_mask=torch.ones_like(t))
+            return out.last_hidden_state[0].cpu().numpy()
+
+    def extract(residue_types, chain_indices, mask_positions=None):
         seq = build_chain_separated_sequence(residue_types, chain_indices, mask_positions)
-        enc = tok(seq, return_tensors="pt", add_special_tokens=True)
-        with torch.inference_mode():
-            out = model(**{k: v.to(device) for k, v in enc.items()})
-        reps = out.last_hidden_state[0, 1:-1].cpu().numpy()  # drop cls/eos
+        reps = run_tokens(tokenize(seq))[1:-1]  # drop cls/eos
         # keep residue positions only (pads between chains are dropped)
         keep = residue_keep_indices(chain_indices)
         return reps[keep].astype(np.float32)
 
-    _extractor_cache[model_name] = extract
+    _extractor_cache[cache_key] = extract
     return extract
 
 
