@@ -212,6 +212,32 @@ def esm2_forward(params: dict, input_ids: jnp.ndarray,
                        cfg.layer_norm_eps)
 
 
+def esm2_param_shardings(mesh, params: dict):
+    """Tensor-parallel sharding spec over the mesh's 'model' axis
+    (Megatron-style, expressed as jax.sharding annotations — XLA/GSPMD
+    inserts the collectives): q/k/v and FFN-in kernels split on their
+    OUTPUT axis, the projection-out and FFN-out kernels on their INPUT
+    axis, so each block's matmul pair contracts locally and only the
+    block-final psum rides ICI. The out-axis chunks are head-aligned
+    whenever (hidden/model_parallel) %% head_dim == 0 (650M: 1280/4 = 5
+    heads per device). Embedding table + LayerNorms replicate. Batches
+    shard over 'data' — ``jax.jit(esm2_forward)`` with these in_shardings
+    runs the 650M encoder across a pod slice unchanged."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, None, "model"))  # [L, in, out]: split out
+    row = NamedSharding(mesh, P(None, "model", None))  # [L, in, out]: split in
+    vec = NamedSharding(mesh, P(None, "model"))        # [L, out]: follows col
+    layer_spec = {
+        "wq": col, "wk": col, "wv": col, "bq": vec, "bk": vec, "bv": vec,
+        "wo": row, "bo": rep, "w1": col, "b1": vec, "w2": row, "b2": rep,
+        "ln1_scale": rep, "ln1_bias": rep, "ln2_scale": rep, "ln2_bias": rep,
+    }
+    return {"embedding": rep, "final_ln_scale": rep, "final_ln_bias": rep,
+            "layers": layer_spec}
+
+
 def make_extractor(params: dict, cfg: ESM2Config):
     """jit-compiled single-sequence embedding extractor.
 

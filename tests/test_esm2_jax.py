@@ -179,3 +179,34 @@ def test_get_esm_extractor_jax_backend_end_to_end(monkeypatch):
     assert a.shape == (9, 64)
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)
     esm_mod._extractor_cache.clear()
+
+
+def test_esm2_tensor_parallel_matches_single_device():
+    """esm2_forward jitted over a (data=2, model=4) mesh with the
+    tensor-parallel param shardings must reproduce the single-device
+    result (GSPMD inserts the collectives; values identical up to f32
+    reduction order)."""
+    import jax
+
+    from packppi_tpu.models.esm2 import esm2_param_shardings
+    from packppi_tpu.parallel import batch_sharding, make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    model, jcfg = _tiny_torch_esm(seed=17)
+    params = convert_hf_esm(model.state_dict(), jcfg)
+    ids, mask = _batch(seed=19, B=4, T=32)
+    ids_j, mask_j = ids.astype(np.int32), mask.astype(np.float32)
+
+    ref = np.asarray(esm2_forward(params, ids_j, mask_j, jcfg))
+
+    mesh = make_mesh(8, model_parallel=4)
+    p_shard = jax.device_put(params, esm2_param_shardings(mesh, params))
+    bs = batch_sharding(mesh)
+    fwd = jax.jit(lambda p, i, m: esm2_forward(p, i, m, jcfg),
+                  in_shardings=(esm2_param_shardings(mesh, params), bs, bs))
+    out = np.asarray(fwd(p_shard, jax.device_put(ids_j, bs),
+                         jax.device_put(mask_j, bs)))
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(out[valid], ref[valid], atol=2e-5, rtol=1e-5)
