@@ -149,13 +149,11 @@ def _apply_rope(x, cos, sin):
     return x * cos + rot * sin
 
 
-def esm2_forward(params: dict, input_ids: jnp.ndarray,
-                 attention_mask: jnp.ndarray, cfg: ESM2Config) -> jnp.ndarray:
-    """[B, T] ids + 0/1 mask -> [B, T, hidden] last hidden state (post final
-    LayerNorm) — ``EsmModel(...).last_hidden_state`` semantics."""
-    B, T = input_ids.shape
-    H, D = cfg.num_heads, cfg.head_dim
-    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+def _embed(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+           cfg: ESM2Config):
+    """Embedding prologue shared by the scan and pipeline paths: token
+    embedding with fair-esm token-dropout rescale, padding zeroing, and the
+    additive key bias. Returns (x [B,T,hid] f32, kbias [B,1,1,T] f32)."""
     f32 = jnp.float32
     amask = attention_mask.astype(f32)
 
@@ -169,10 +167,18 @@ def esm2_forward(params: dict, input_ids: jnp.ndarray,
         x = x * ((1.0 - mask_ratio_train) / (1.0 - ratio_obs))[:, None, None]
     x = x * amask[..., None]
 
-    cos, sin = _rope_tables(T, D)                                 # [T, D]
     # additive key bias: large-negative on padded keys (f32 softmax)
     kbias = (amask[:, None, None, :] - 1.0) * 1e9                 # [B, 1, 1, T]
+    return x, kbias
 
+
+def _layer_apply(lp: dict, x: jnp.ndarray, kbias: jnp.ndarray,
+                 cos: jnp.ndarray, sin: jnp.ndarray, cfg: ESM2Config) -> jnp.ndarray:
+    """One pre-LN ESM-2 transformer block (single layer's params ``lp``)."""
+    B, T, _ = x.shape
+    H, D = cfg.num_heads, cfg.head_dim
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    f32 = jnp.float32
     # f32 mode means f32: XLA's DEFAULT matmul precision runs f32 dots on
     # reduced-precision fast paths (bf16-class passes on the TPU MXU, and
     # oneDNN's fast path on CPU — measured 4.6e-3 error vs 2e-7 at HIGHEST),
@@ -184,30 +190,68 @@ def esm2_forward(params: dict, input_ids: jnp.ndarray,
                       precision=prec)
         return out if b is None else out + b
 
-    def layer(x, lp):
-        ln = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.layer_norm_eps)
-        to_heads = lambda y: y.reshape(B, T, H, D).transpose(0, 2, 1, 3)
-        # ESM scales the QUERY by d_h^-0.5 BEFORE rotary (not the logits) —
-        # equivalent modulo rotary, and exactly what the checkpoints expect
-        q = to_heads(dot(ln, lp["wq"], lp["bq"])) * (D ** -0.5)
-        k = to_heads(dot(ln, lp["wk"], lp["bk"]))
-        v = to_heads(dot(ln, lp["wv"], lp["bv"]))
-        q = _apply_rope(q, cos, sin)
-        k = _apply_rope(k, cos, sin)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
-                            preferred_element_type=f32, precision=prec) + kbias
-        w = jax.nn.softmax(logits.astype(f32), axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cd), v.astype(cd),
-                         preferred_element_type=f32, precision=prec)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, H * D)
-        x = x + dot(ctx, lp["wo"], lp["bo"])
+    ln = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.layer_norm_eps)
+    to_heads = lambda y: y.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    # ESM scales the QUERY by d_h^-0.5 BEFORE rotary (not the logits) —
+    # equivalent modulo rotary, and exactly what the checkpoints expect
+    q = to_heads(dot(ln, lp["wq"], lp["bq"])) * (D ** -0.5)
+    k = to_heads(dot(ln, lp["wk"], lp["bk"]))
+    v = to_heads(dot(ln, lp["wv"], lp["bv"]))
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
+                        preferred_element_type=f32, precision=prec) + kbias
+    w = jax.nn.softmax(logits.astype(f32), axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cd), v.astype(cd),
+                     preferred_element_type=f32, precision=prec)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, H * D)
+    x = x + dot(ctx, lp["wo"], lp["bo"])
 
-        ln = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.layer_norm_eps)
-        h = jax.nn.gelu(dot(ln, lp["w1"], lp["b1"]), approximate=False)
-        x = x + dot(h, lp["w2"], lp["b2"])
-        return x, None
+    ln = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.layer_norm_eps)
+    h = jax.nn.gelu(dot(ln, lp["w1"], lp["b1"]), approximate=False)
+    return x + dot(h, lp["w2"], lp["b2"])
+
+
+def esm2_forward(params: dict, input_ids: jnp.ndarray,
+                 attention_mask: jnp.ndarray, cfg: ESM2Config) -> jnp.ndarray:
+    """[B, T] ids + 0/1 mask -> [B, T, hidden] last hidden state (post final
+    LayerNorm) — ``EsmModel(...).last_hidden_state`` semantics."""
+    T = input_ids.shape[1]
+    x, kbias = _embed(params, input_ids, attention_mask, cfg)
+    cos, sin = _rope_tables(T, cfg.head_dim)                      # [T, D]
+
+    def layer(x, lp):
+        return _layer_apply(lp, x, kbias, cos, sin, cfg), None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])
+    return _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"],
+                       cfg.layer_norm_eps)
+
+
+def esm2_pipeline_forward(params: dict, input_ids: jnp.ndarray,
+                          attention_mask: jnp.ndarray, cfg: ESM2Config,
+                          mesh, n_microbatches: int = None) -> jnp.ndarray:
+    """``esm2_forward`` with the LAYER axis pipelined over the mesh's 'model'
+    axis (GPipe schedule, see parallel/pipeline.py): each stage holds
+    num_layers/S consecutive blocks, activations stream stage-to-stage over
+    ICI via ppermute. Per-device parameter memory drops S-fold — the scaling
+    path for ESM variants too large for one chip's HBM (3B/15B), where
+    tensor parallelism alone leaves the layer stack replicated. Output is
+    identical to ``esm2_forward`` up to f32 reduction order (tested)."""
+    from packppi_tpu.parallel import pipeline_apply
+
+    T = input_ids.shape[1]
+    x, kbias = _embed(params, input_ids, attention_mask, cfg)
+    cos, sin = _rope_tables(T, cfg.head_dim)
+
+    def apply_layer(lp, carry):
+        x, kbias = carry
+        return _layer_apply(lp, x, kbias, cos, sin, cfg), kbias
+
+    if n_microbatches is None:
+        n_microbatches = max(1, x.shape[0] // max(1, mesh.shape.get("data", 1)))
+    x, _ = pipeline_apply(mesh, params["layers"], (x, kbias), apply_layer,
+                          n_microbatches=n_microbatches)
     return _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"],
                        cfg.layer_norm_eps)
 

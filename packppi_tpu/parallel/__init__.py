@@ -1,4 +1,4 @@
-"""Distribution layer: device meshes and sharding rules."""
+"""Distribution layer: device meshes, sharding rules, pipeline schedule."""
 from packppi_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
@@ -6,3 +6,4 @@ from packppi_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     seq_batch_shardings,
 )
+from packppi_tpu.parallel.pipeline import pipeline_apply  # noqa: F401
