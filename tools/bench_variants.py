@@ -176,7 +176,85 @@ def bench_train_fused():
                     flush=True)
 
 
+def bench_esm():
+    """ESM-2 embedding extraction on-device: 650M-shaped encoder, random
+    weights (identical FLOP/byte profile to converted weights), bf16 MXU
+    matmuls. The reference runs this stage as a torch-hub GPU model per
+    SKEMPI entry (reference: src/datamodules/components/helper.py:131-169).
+    Params are generated ON DEVICE inside one jit — materializing 650M f32
+    weights host-side would push 2.6 GB through the dev tunnel."""
+    import os
+
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(os.environ.get("PACKPPI_BENCH_PLATFORM"))
+    import jax
+    import jax.numpy as jnp
+
+    from packppi_tpu.models.esm2 import ESM2Config, esm2_forward
+
+    cfg = ESM2Config(compute_dtype="bfloat16")          # 650M geometry
+    small = os.environ.get("PACKPPI_BENCH_ESM_SMALL")   # CPU smoke mode
+    if small:
+        cfg = ESM2Config(hidden_size=64, num_layers=2, num_heads=4,
+                         intermediate_size=128, compute_dtype="bfloat16")
+    nl, hd, it = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    floor = _floor(jax)
+
+    @jax.jit
+    def make_params(key):
+        ks = iter(jax.random.split(key, 16))
+        n = lambda *s: jax.random.normal(next(ks), s, jnp.float32) * 0.02
+        return {
+            "embedding": n(cfg.vocab_size, hd),
+            "final_ln_scale": jnp.ones(hd), "final_ln_bias": jnp.zeros(hd),
+            "layers": {
+                "wq": n(nl, hd, hd), "bq": n(nl, hd),
+                "wk": n(nl, hd, hd), "bk": n(nl, hd),
+                "wv": n(nl, hd, hd), "bv": n(nl, hd),
+                "wo": n(nl, hd, hd), "bo": n(nl, hd),
+                "w1": n(nl, hd, it), "b1": n(nl, it),
+                "w2": n(nl, it, hd), "b2": n(nl, hd),
+                "ln1_scale": jnp.ones((nl, hd)), "ln1_bias": jnp.zeros((nl, hd)),
+                "ln2_scale": jnp.ones((nl, hd)), "ln2_bias": jnp.zeros((nl, hd)),
+            },
+        }
+
+    params = make_params(jax.random.key(0))
+    n_params = sum(int(x.size) for x in jax.tree.leaves(params))
+
+    R = int(os.environ.get("PACKPPI_BENCH_R", "8"))
+    for B, T in ((4, 1024), (1, 512)):
+        if small:
+            B, T = max(1, B // 2), T // 8
+        ids = jax.random.randint(jax.random.key(1), (R, B, T), 4, 31,
+                                 dtype=jnp.int32)
+        mask = jnp.ones((B, T), jnp.float32)
+
+        @jax.jit
+        def fwd_repeat(params, ids, mask):
+            def body(acc, ids_r):
+                return acc + esm2_forward(params, ids_r, mask, cfg).sum(), None
+            out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), ids)
+            return out
+
+        float(fwd_repeat(params, ids, mask))  # compile + warm
+        total = min(_timeit(lambda: float(fwd_repeat(params, ids, mask)))
+                    for _ in range(5))
+        per_fwd = max(total - floor, 1e-9) / R
+        toks = B * T
+        # matmul FLOPs/token: qkvo 8h^2 + ffn 16h^2 per layer, + attention
+        # QK^T/AV 4Th per layer
+        gf_per_tok = (24 * hd * hd + 4 * T * hd) * nl / 1e9
+        print(json.dumps({
+            "bench": "esm2_forward", "B": B, "T": T,
+            "params_m": round(n_params / 1e6, 1),
+            "fwd_s": round(per_fwd, 5),
+            "tokens_per_s": round(toks / per_fwd),
+            "tflops": round(toks * gf_per_tok / per_fwd / 1e3, 2),
+        }), flush=True)
+
+
 if __name__ == "__main__":
     suite = sys.argv[1] if len(sys.argv) > 1 else "sampler"
     {"sampler": bench_sampler, "train": bench_train,
-     "train_fused": bench_train_fused}[suite]()
+     "train_fused": bench_train_fused, "esm": bench_esm}[suite]()
