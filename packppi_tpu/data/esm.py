@@ -104,7 +104,8 @@ def get_esm_extractor(model_name: str = ESM_MODEL_NAME, device: str = "cpu",
                          layer_norm_eps=hc.layer_norm_eps,
                          token_dropout=hc.token_dropout,
                          mask_token_id=hc.mask_token_id,
-                         pad_token_id=hc.pad_token_id)
+                         pad_token_id=hc.pad_token_id,
+                         attention_impl="auto")
         run_tokens = make_extractor(convert_hf_esm(model.state_dict(), cfg), cfg)
         del model
     else:

@@ -73,6 +73,13 @@ class ESM2Config:
     mask_token_id: int = MASK_ID
     pad_token_id: int = PAD_ID
     compute_dtype: str = "float32"   # "bfloat16": matmuls on the MXU in bf16
+    # "flash": Pallas attention (ops/pallas_attention.py) — the [B,H,T,T]
+    # plane stays in VMEM instead of streaming through HBM. Forward-only
+    # (extraction is frozen-eval, like the reference's torch.hub usage).
+    # "auto": flash on TPU for long sequences only — measured in-model
+    # crossover on v5e 650M bf16: T=2048 +25%, T=1024 +1%, T=512 -19%
+    # (PERF.md "ESM-2 embedding extraction"); dense elsewhere.
+    attention_impl: str = "dense"
 
     @property
     def head_dim(self) -> int:
@@ -199,11 +206,23 @@ def _layer_apply(lp: dict, x: jnp.ndarray, kbias: jnp.ndarray,
     v = to_heads(dot(ln, lp["wv"], lp["bv"]))
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
-                        preferred_element_type=f32, precision=prec) + kbias
-    w = jax.nn.softmax(logits.astype(f32), axis=-1)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cd), v.astype(cd),
-                     preferred_element_type=f32, precision=prec)
+    impl = cfg.attention_impl
+    if impl == "auto":
+        # flash wins where the [B,H,T,T] plane dominates HBM traffic; its
+        # VMEM-resident logits cap T at ~4k (blk_q*T*4 bytes on-chip)
+        on_tpu = jax.default_backend().startswith(("tpu", "axon"))
+        impl = "flash" if (on_tpu and 1536 <= T <= 4096) else "dense"
+    if impl == "flash":
+        from packppi_tpu.ops.pallas_attention import flash_mha
+        ctx = flash_mha(q.astype(cd), k.astype(cd), v.astype(cd),
+                        kbias.reshape(B, T), highest=prec is not None,
+                        interpret=jax.default_backend() == "cpu")
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
+                            preferred_element_type=f32, precision=prec) + kbias
+        w = jax.nn.softmax(logits.astype(f32), axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cd), v.astype(cd),
+                         preferred_element_type=f32, precision=prec)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, H * D)
     x = x + dot(ctx, lp["wo"], lp["bo"])
 
@@ -266,7 +285,10 @@ def esm2_param_shardings(mesh, params: dict):
     whenever (hidden/model_parallel) %% head_dim == 0 (650M: 1280/4 = 5
     heads per device). Embedding table + LayerNorms replicate. Batches
     shard over 'data' — ``jax.jit(esm2_forward)`` with these in_shardings
-    runs the 650M encoder across a pod slice unchanged."""
+    runs the 650M encoder across a pod slice unchanged. Use
+    ``attention_impl='dense'`` (the default) here: the flash kernel is a
+    single-device Pallas call that GSPMD cannot partition — 'auto' only
+    selects it on the unsharded extractor path."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())

@@ -14,3 +14,4 @@ from packppi_tpu.ops.pallas_clash import (  # noqa: F401
     between_residue_clash_pallas,
     sc_clash_screen,
 )
+from packppi_tpu.ops.pallas_attention import flash_mha  # noqa: F401

@@ -124,6 +124,66 @@ def test_esm2_bf16_close_to_f32():
     assert np.abs(b[m] - f[m]).max() < 0.05 * scale
 
 
+def test_esm2_flash_attention_matches_dense():
+    """attention_impl='flash' (ops/pallas_attention.py, interpret mode on
+    CPU) must reproduce the dense-einsum path on a ragged padded batch —
+    padding-mask semantics included. f32: both paths accumulate f32 and
+    softmax f32, so agreement is at float rounding."""
+    import dataclasses
+
+    model, jcfg = _tiny_torch_esm(seed=11)
+    params = convert_hf_esm(model.state_dict(), jcfg)
+    ids, mask = _batch(seed=13)
+    dense = np.asarray(esm2_forward(params, ids.astype(np.int32),
+                                    mask.astype(np.float32), jcfg))
+    flash = np.asarray(esm2_forward(
+        params, ids.astype(np.int32), mask.astype(np.float32),
+        dataclasses.replace(jcfg, attention_impl="flash")))
+    m = mask.astype(bool)
+    np.testing.assert_allclose(flash[m], dense[m], atol=2e-5, rtol=1e-5)
+
+
+def test_esm2_auto_attention_matches_dense():
+    """'auto' must be output-identical to dense everywhere it routes to
+    dense (CPU backend always does), and must never crash on the length
+    policy boundaries."""
+    import dataclasses
+
+    model, jcfg = _tiny_torch_esm(seed=19)
+    params = convert_hf_esm(model.state_dict(), jcfg)
+    ids, mask = _batch(seed=21)
+    dense = np.asarray(esm2_forward(params, ids.astype(np.int32),
+                                    mask.astype(np.float32), jcfg))
+    auto = np.asarray(esm2_forward(
+        params, ids.astype(np.int32), mask.astype(np.float32),
+        dataclasses.replace(jcfg, attention_impl="auto")))
+    np.testing.assert_array_equal(auto, dense)
+
+
+def test_flash_mha_kernel_vs_reference_softmax():
+    """Kernel-level oracle: flash_mha == softmax(qk^T + bias) v computed
+    by hand, across a ragged tail (T % blk_q != 0) and blk_q > T."""
+    import jax.numpy as jnp
+
+    from packppi_tpu.ops.pallas_attention import flash_mha
+
+    rng = np.random.default_rng(17)
+    for B, H, T, D, blk_q in ((2, 3, 48, 16, 32), (1, 2, 24, 8, 256)):
+        q = rng.standard_normal((B, H, T, D)).astype(np.float32)
+        k = rng.standard_normal((B, H, T, D)).astype(np.float32)
+        v = rng.standard_normal((B, H, T, D)).astype(np.float32)
+        bias = np.zeros((B, T), np.float32)
+        bias[:, T - 5:] = -1e9  # padded keys
+        logits = np.einsum("bhqd,bhkd->bhqk", q, k) + bias[:, None, None, :]
+        w = np.exp(logits - logits.max(-1, keepdims=True))
+        w /= w.sum(-1, keepdims=True)
+        ref = np.einsum("bhqk,bhkd->bhqd", w, v)
+        out = np.asarray(flash_mha(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), jnp.asarray(bias),
+                                   blk_q=blk_q, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_tokenize_matches_hf_contract():
     """The in-repo alphabet tokenizer reproduces the chain-separated
     format's token stream: one id per residue char / per <...> special,

@@ -9,6 +9,7 @@ Run on the real chip; prints one JSON line per configuration.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -223,35 +224,39 @@ def bench_esm():
     n_params = sum(int(x.size) for x in jax.tree.leaves(params))
 
     R = int(os.environ.get("PACKPPI_BENCH_R", "8"))
-    for B, T in ((4, 1024), (1, 512)):
+    for B, T in ((4, 1024), (1, 512), (1, 2048)):
         if small:
             B, T = max(1, B // 2), T // 8
         ids = jax.random.randint(jax.random.key(1), (R, B, T), 4, 31,
                                  dtype=jnp.int32)
         mask = jnp.ones((B, T), jnp.float32)
 
-        @jax.jit
-        def fwd_repeat(params, ids, mask):
-            def body(acc, ids_r):
-                return acc + esm2_forward(params, ids_r, mask, cfg).sum(), None
-            out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), ids)
-            return out
+        for impl in ("dense", "flash"):
+            icfg = dataclasses.replace(cfg, attention_impl=impl)
 
-        float(fwd_repeat(params, ids, mask))  # compile + warm
-        total = min(_timeit(lambda: float(fwd_repeat(params, ids, mask)))
-                    for _ in range(5))
-        per_fwd = max(total - floor, 1e-9) / R
-        toks = B * T
-        # matmul FLOPs/token: qkvo 8h^2 + ffn 16h^2 per layer, + attention
-        # QK^T/AV 4Th per layer
-        gf_per_tok = (24 * hd * hd + 4 * T * hd) * nl / 1e9
-        print(json.dumps({
-            "bench": "esm2_forward", "B": B, "T": T,
-            "params_m": round(n_params / 1e6, 1),
-            "fwd_s": round(per_fwd, 5),
-            "tokens_per_s": round(toks / per_fwd),
-            "tflops": round(toks * gf_per_tok / per_fwd / 1e3, 2),
-        }), flush=True)
+            @jax.jit
+            def fwd_repeat(params, ids, mask):
+                def body(acc, ids_r):
+                    return acc + esm2_forward(params, ids_r, mask,
+                                              icfg).sum(), None
+                out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), ids)
+                return out
+
+            float(fwd_repeat(params, ids, mask))  # compile + warm
+            total = min(_timeit(lambda: float(fwd_repeat(params, ids, mask)))
+                        for _ in range(5))
+            per_fwd = max(total - floor, 1e-9) / R
+            toks = B * T
+            # matmul FLOPs/token: qkvo 8h^2 + ffn 16h^2 per layer,
+            # + attention QK^T/AV 4Th per layer
+            gf_per_tok = (24 * hd * hd + 4 * T * hd) * nl / 1e9
+            print(json.dumps({
+                "bench": "esm2_forward", "impl": impl, "B": B, "T": T,
+                "params_m": round(n_params / 1e6, 1),
+                "fwd_s": round(per_fwd, 5),
+                "tokens_per_s": round(toks / per_fwd),
+                "tflops": round(toks * gf_per_tok / per_fwd / 1e3, 2),
+            }), flush=True)
 
 
 if __name__ == "__main__":
