@@ -147,18 +147,24 @@ class PackSession:
         feats = self.featurize(prot)
         return prot, feats
 
+    MAX_SAMPLES = 32  # request-body batch cap: bounds device memory and
+    #                   the per-shape compile cache against abusive clients
+
     def pack(self, pdb_text: str, n_samples: int = 1, use_proximal: bool = False,
              seed=None, want_metrics: bool = True) -> dict:
         from packppi_tpu.cli._directory import merge_output_structure
         from packppi_tpu.structure import to_pdb
 
         jnp = self.jax.numpy
+        if not 1 <= int(n_samples) <= self.MAX_SAMPLES:
+            raise ServeError(400, f"n_samples must be in [1, {self.MAX_SAMPLES}]")
         prot, feats = self._featurize_text(pdb_text)
-        n_samples = max(1, int(n_samples))
+        n_samples = int(n_samples)
         batch = self.stack_batch([feats] * n_samples)
         L_bucket = int(batch.residue_type.shape[1])
-        if L_bucket not in self.buckets_seen:
-            self.buckets_seen.append(L_bucket)
+        with self._key_lock:  # buckets_seen shares the small-state lock
+            if L_bucket not in self.buckets_seen:
+                self.buckets_seen.append(L_bucket)
         key = self.next_key(seed)
 
         t0 = time.perf_counter()
@@ -200,6 +206,8 @@ class PackSession:
         from packppi_tpu.cli._directory import merge_output_structure
         from packppi_tpu.structure import to_pdb
 
+        if not 1 <= int(num_steps) <= 1000:
+            raise ServeError(400, "num_steps must be in [1, 1000]")
         prot, feats = self._featurize_text(pdb_text)
         if feats["SC_D_mask"].sum() == 0:
             raise ServeError(400, "input structure has no side-chain chi "
@@ -347,7 +355,33 @@ def _synthetic_affinity_feats():
     return skempi_features(prot, [parse_mutation("AA1G")])
 
 
+def _as_num(req: dict, key, default, lo, hi, cast=float):
+    """Validate a client-supplied numeric field -> 400 on garbage (bare
+    int()/float() would surface as a 500 server fault)."""
+    val = req.get(key, default)
+    try:
+        val = cast(val)
+    except (TypeError, ValueError):
+        raise ServeError(400, f"'{key}' must be a number")
+    if not lo <= val <= hi:
+        raise ServeError(400, f"'{key}' must be in [{lo}, {hi}]")
+    return val
+
+
 def make_handler(sessions: dict, args):
+    ddg_init_lock = threading.Lock()
+
+    def get_ddg_session():
+        # check-then-act on the shared dict must be synchronized (handler
+        # threads race), and the constructor's device work (backbone init)
+        # must not overlap an in-flight /pack dispatch
+        with ddg_init_lock:
+            if "ddg" not in sessions:
+                with sessions["pack"].device_lock:
+                    sessions["ddg"] = DdgSession(args,
+                                                 sessions["pack"].device_lock)
+        return sessions["ddg"]
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -359,6 +393,12 @@ def make_handler(sessions: dict, args):
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if code >= 400:
+                # error paths may leave an unread body (e.g. chunked
+                # encoding, which we don't parse) — close rather than let
+                # stale bytes desync the next keep-alive request
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             self.wfile.write(body)
 
@@ -392,26 +432,26 @@ def make_handler(sessions: dict, args):
                                           "(or raw PDB text)")
                 if self.path == "/pack":
                     out = sessions["pack"].pack(
-                        req["pdb"], n_samples=req.get("n_samples", 1),
+                        req["pdb"],
+                        n_samples=_as_num(req, "n_samples", 1, 1,
+                                          PackSession.MAX_SAMPLES, int),
                         use_proximal=bool(req.get("use_proximal", False)),
                         seed=req.get("seed"),
                         want_metrics=bool(req.get("metrics", True)))
                 elif self.path == "/prox":
                     out = sessions["pack"].prox(
-                        req["pdb"], num_steps=int(req.get("num_steps", 50)),
-                        lamda=float(req.get("lamda", 1.0)),
-                        violation_tolerance_factor=float(
-                            req.get("violation_tolerance_factor", 12.0)),
-                        clash_overlap_tolerance=float(
-                            req.get("clash_overlap_tolerance", 0.5)),
+                        req["pdb"],
+                        num_steps=_as_num(req, "num_steps", 50, 1, 1000, int),
+                        lamda=_as_num(req, "lamda", 1.0, 0.0, 1e6),
+                        violation_tolerance_factor=_as_num(
+                            req, "violation_tolerance_factor", 12.0, 0.0, 1e6),
+                        clash_overlap_tolerance=_as_num(
+                            req, "clash_overlap_tolerance", 0.5, 0.0, 10.0),
                         want_metrics=bool(req.get("metrics", True)))
                 elif self.path == "/ddg":
                     if not req.get("mutstr"):
                         raise ServeError(400, "/ddg needs a 'mutstr' field")
-                    if "ddg" not in sessions:
-                        sessions["ddg"] = DdgSession(
-                            args, sessions["pack"].device_lock)
-                    out = sessions["ddg"].ddg(req["pdb"], req["mutstr"])
+                    out = get_ddg_session().ddg(req["pdb"], req["mutstr"])
                 else:
                     raise ServeError(404, f"unknown path {self.path}")
                 self._reply(200, out)

@@ -72,6 +72,12 @@ def flash_mha(q, k, v, key_bias, blk_q: int = 512,
     """
     B, H, T, D = q.shape
     blk_q = min(blk_q, T)
+    # keep the f32 logits/softmax row-block inside the 16 MB scoped-VMEM
+    # stack: blk_q=512 at T=4096 was measured to overflow it by 1.2 MB
+    # (the compiler holds logits + exp temporaries + double-buffered K/V),
+    # so halve the query block until blk_q*T <= 512*2048 elements (4 MB f32)
+    while blk_q > 128 and blk_q * T > 512 * 2048:
+        blk_q //= 2
     precision = jax.lax.Precision.HIGHEST if highest else None
     grid = (B, H, pl.cdiv(T, blk_q))
 

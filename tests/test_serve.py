@@ -137,3 +137,21 @@ def test_error_handling(server):
     assert status in (400, 500) and "error" in out
     status, _ = _request(server, "GET", "/healthz")
     assert status == 200
+
+
+def test_request_validation(server):
+    """Client-controlled numerics are bounded and type-checked: abusive or
+    malformed values are 400 client errors, never device allocations or
+    500 server faults."""
+    pdb_text = (FIXTURES / "2ftl.pdb").read_text()
+    status, out = _request(server, "POST", "/pack", json.dumps(
+        {"pdb": pdb_text, "n_samples": 100000000}))
+    assert status == 400 and "n_samples" in out["error"]
+
+    status, out = _request(server, "POST", "/prox", json.dumps(
+        {"pdb": pdb_text, "num_steps": "fast"}))
+    assert status == 400 and "num_steps" in out["error"]
+
+    status, out = _request(server, "POST", "/prox", json.dumps(
+        {"pdb": pdb_text, "num_steps": 0}))
+    assert status == 400
