@@ -71,6 +71,10 @@ def resolve_n_devices(args) -> int:
     import jax
 
     n = getattr(args, "n_devices", None) or jax.device_count()
+    if n < 1:
+        # negative/zero would silently poison the chunk arithmetic
+        # downstream (negative row budgets -> opaque repeat errors)
+        raise SystemExit(f"--n_devices must be >= 1 (got {n})")
     if n > jax.device_count():
         print(f"WARNING: --n_devices {n} > available "
               f"{jax.device_count()}; clamping")

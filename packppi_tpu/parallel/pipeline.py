@@ -104,10 +104,21 @@ def pipeline_apply(mesh, layer_params, carry, apply_layer,
                 recv = jax.tree.map(
                     lambda v: jax.lax.ppermute(v, axis, fwd), y)
 
-        # replicate the final stage's outputs across the pipeline axis
+        # replicate the final stage's outputs across the pipeline axis.
+        # dtype-preserving masking: where(cond, o, 0) would promote bool
+        # (and other weak-vs-strong mixes) to int32, changing the carry's
+        # dtype vs the sequential lax.scan; bools ride the psum as int32
+        # and cast back (psum has no pred add).
         last = S - 1
-        return jax.tree.map(
-            lambda o: jax.lax.psum(jnp.where(s == last, o, 0), axis), outs)
+
+        def replicate_last(o):
+            masked = jnp.where(s == last, o, jnp.zeros_like(o))
+            if masked.dtype == jnp.bool_:
+                return jax.lax.psum(masked.astype(jnp.int32),
+                                    axis).astype(jnp.bool_)
+            return jax.lax.psum(masked, axis)
+
+        return jax.tree.map(replicate_last, outs)
 
     # check_vma off: the final psum-replication over `axis` can't be proven
     # by the varying-manual-axes checker (the masked write is data-dependent)

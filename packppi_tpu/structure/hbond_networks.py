@@ -37,7 +37,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-from packppi_tpu.chem import ATOM14_NAMES, RESTYPE_1TO3, RESTYPES
+from packppi_tpu.chem import ATOM14_NAMES
 from packppi_tpu.structure.hydrogens import (
     disulfide_cysteines,
     FLIP_GROUPS,
@@ -51,6 +51,7 @@ from packppi_tpu.structure.hydrogens import (
     heavy_graph,
     is_hbond_acceptor,
     probe_spike_measure,
+    residue_names,
     scoring_environment,
 )
 
@@ -131,8 +132,7 @@ def _movable_groups(prot, graph, n_phases: int) -> list[Group]:
     X = np.asarray(prot.atom_positions, np.float64)
     mask = np.asarray(prot.atom_mask).astype(bool)
     L = X.shape[0]
-    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
-                for i in prot.aaindex]
+    resnames = residue_names(prot)
     _, _, _, flat_index, sep = graph
     ss_cys = disulfide_cysteines(prot)  # no HG rotor on half-cystines
 
@@ -340,16 +340,18 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
     assignment = {}
     info = {"components": []}
     for comp in components:
-        for gi in comp:
-            unaries[gi] = unary_all(groups[gi])
         if len(comp) == 1:
             gi = comp[0]
             # singleton rotors keep the greedy path (scored identically
-            # there); singleton flips decide here by unary
+            # there) — their unaries are never read, and most polar groups
+            # are singletons, so skipping them removes the bulk of this
+            # host hot path's work; singleton flips decide here by unary
             if groups[gi].kind == "flip":
-                assignment[gi] = int(np.argmin(unaries[gi]))
+                assignment[gi] = int(np.argmin(unary_all(groups[gi])))
             info["components"].append({"groups": [gi], "mode": "singleton"})
             continue
+        for gi in comp:
+            unaries[gi] = unary_all(groups[gi])
 
         pair_tab = {}
         for ai, a in enumerate(comp):
@@ -402,8 +404,12 @@ def optimize_hbond_networks(prot, graph=None, n_phases: int = 12,
                     break
             mode = "descent"
         assignment.update(best)
+        # in descent mode n_states is only the partial product where the
+        # overflow-guard loop broke, NOT the joint state-space size —
+        # flag it so diagnostics don't read a wrong-by-orders number
         info["components"].append({"groups": list(comp), "mode": mode,
-                                   "n_states": n_states})
+                                   "n_states": n_states,
+                                   "n_states_capped": mode == "descent"})
 
     # apply winners
     X = np.array(prot.atom_positions, np.float64)

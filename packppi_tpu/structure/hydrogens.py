@@ -24,8 +24,17 @@ from packppi_tpu.chem import ATOM14_NAMES, RESTYPE_1TO3, RESTYPES
 
 _RAW = json.loads((Path(__file__).parent.parent / "chem" / "chem_data.json").read_text())
 BONDS = _RAW["bonds"]                      # resname -> [[a, b, length, stddev], ...]
-HBOND_DONORS = set(_RAW["hbond_donor_atoms"]) | {"N"}
+# donor-ness is derived from PLACED polar hydrogens throughout this module
+# (not from a donor-atom name set); only the acceptor set is name-keyed
 HBOND_ACCEPTORS = set(_RAW["hbond_acceptor_atoms"]) | {"O"}
+
+
+def residue_names(prot) -> list[str]:
+    """Three-letter residue names from aaindex ('UNK' past the table) —
+    the shared derivation for every host-side chemistry pass here and in
+    hbond_networks.py."""
+    return [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
+            for i in prot.aaindex]
 
 # the name list alone marks GLN's amide NE2 (always a donor) and — in our
 # NE2-H tautomer — HIS NE2 as acceptors; both carry hydrogens here
@@ -189,8 +198,7 @@ def heavy_graph(prot):
     X = np.asarray(prot.atom_positions, np.float64)
     mask = np.asarray(prot.atom_mask).astype(bool)
     L = X.shape[0]
-    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
-                for i in prot.aaindex]
+    resnames = residue_names(prot)
 
     coords, names, res_of = [], [], []
     flat_index = -np.ones((L, 14), np.int64)
@@ -386,8 +394,7 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None,
     X = np.array(prot.atom_positions, np.float64)
     mask = np.asarray(prot.atom_mask).astype(bool)
     L = X.shape[0]
-    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
-                for i in prot.aaindex]
+    resnames = residue_names(prot)
 
     graph = graph or heavy_graph(prot)
     _gc, g_names, g_res, flat_index, _sep = graph
@@ -409,8 +416,6 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None,
             buckets.setdefault(new_key, []).append(flat)
         coords[flat] = new_pos
 
-    _group_hydrogens = flip_group_hydrogens
-
     def cost(i, rn, group_slots, positions, pos_of):
         """Reduce-style score of the group's atoms + their hydrogens vs
         OTHER residues' heavy atoms AND static hydrogens: serious clashes
@@ -425,7 +430,7 @@ def optimize_amide_flips(prot, cutoff: float = 4.0, graph=None,
                   for s, p in zip(group_slots, positions)]
         probes += [(h, PROBE_H_POLAR_RADIUS if polar_h else PROBE_H_RADIUS,
                     polar_h, False)
-                   for h, polar_h in _group_hydrogens(rn, pos_of)]
+                   for h, polar_h in flip_group_hydrogens(rn, pos_of)]
         total = 0.0
         for p, r_self, polar_h, acceptor_self in probes:
             na = near(p)
@@ -516,8 +521,7 @@ def _place_hydrogens(prot):
     X = np.asarray(prot.atom_positions, np.float64)
     mask = np.asarray(prot.atom_mask).astype(bool)
     L = X.shape[0]
-    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
-                for i in prot.aaindex]
+    resnames = residue_names(prot)
 
     pos, pres, pslot, polar = [], [], [], []
     rotors = []  # (first_H_index, n_h, x, parent, dref, blen, symmetric)
@@ -673,8 +677,7 @@ def static_hydrogen_probes(prot, flat_index=None):
            "parent_res": np.asarray(h_res, np.int64),
            "parent_slot": np.asarray(h_slot, np.int64),
            "polar": np.asarray(h_polar, bool)}
-    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
-                for i in prot.aaindex]
+    resnames = residue_names(prot)
     flip_atoms = {rn: {a for p in FLIP_GROUPS[rn] for a in p}
                   for rn in FLIP_GROUPS}
     # a residue's flip-group H only move if the flip is actually MOVABLE
@@ -727,8 +730,7 @@ def scoring_environment(prot, graph, static_h=None):
     from packppi_tpu.utils.metrics import PROBE_RADII
 
     g_coords, g_names, g_res, flat_index, _sep = graph
-    resnames = [RESTYPE_1TO3[RESTYPES[i]] if i < len(RESTYPES) else "UNK"
-                for i in prot.aaindex]
+    resnames = residue_names(prot)
     sh = static_h if static_h is not None else \
         static_hydrogen_probes(prot, flat_index)
     n_heavy = len(g_names)

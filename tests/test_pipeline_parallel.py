@@ -71,6 +71,33 @@ def test_pipeline_streams_carry_pytrees():
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(bias))
 
 
+def test_pipeline_preserves_bool_carry_dtype():
+    """A bool carry leaf (e.g. a padding mask) must come back bool with its
+    values intact — the final psum-replication's masking used to promote
+    bool to int32 (where(cond, bool, 0)), silently corrupting downstream
+    ``~mask`` logic."""
+    layers = _mlp_stack(jax.random.key(6), nl=4, d=16)
+    B = 8
+    x = jax.random.normal(jax.random.key(7), (B, 16))
+    keep = jnp.asarray(np.arange(B) % 2 == 0)           # [B] bool
+
+    def apply_layer(lp, carry):
+        x, keep = carry
+        return jnp.tanh(x @ lp["w"] + lp["b"]) * keep[:, None], keep
+
+    mesh = make_mesh(8, model_parallel=4)
+    out_x, out_keep = pipeline_apply(mesh, layers, (x, keep), apply_layer,
+                                     n_microbatches=4)
+    assert out_keep.dtype == jnp.bool_
+    np.testing.assert_array_equal(np.asarray(out_keep), np.asarray(keep))
+
+    def body(c, lp):
+        return apply_layer(lp, c), None
+    ref, _ = jax.lax.scan(body, (x, keep), layers)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref[0]),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_pipeline_validates_divisibility():
     layers = _mlp_stack(jax.random.key(5), nl=6, d=16)
     mesh = make_mesh(8, model_parallel=4)
