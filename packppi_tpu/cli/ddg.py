@@ -168,10 +168,10 @@ def run(args) -> float:
         from packppi_tpu.data.esm import get_esm_extractor, load_precomputed
 
         emb = load_precomputed(args.esm_dir, args.esm_key) if args.esm_dir else None
-        if isinstance(emb, dict):
+        if emb is not None:
+            if "wt" not in emb or "mut" not in emb:
+                raise SystemExit("esm npz must contain 'wt' and 'mut' arrays")
             wt, mt = emb["wt"], emb["mut"]
-        elif emb is not None:
-            raise SystemExit("esm npz must contain 'wt' and 'mut' arrays")
         else:
             extractor = get_esm_extractor()
             if extractor is None:

@@ -44,6 +44,20 @@ def build_chain_separated_sequence(residue_types: np.ndarray,
     return "".join(parts)
 
 
+def chain_grouped_order(chain_indices: np.ndarray) -> np.ndarray:
+    """Original-residue indices in the order
+    :func:`build_chain_separated_sequence` emits them (sorted chain ids,
+    original order within each chain). Needed to un-scramble extracted
+    embeddings whenever chain_indices is not non-decreasing — featurize
+    zeroes the chain id of residues with incomplete backbones
+    (structure/featurize.py: ``chain_indices * residue_mask``), so a single
+    unresolved residue mid-chain becomes a leading 'chain 0' token and
+    every later residue would otherwise receive its neighbor's embedding."""
+    ci = np.asarray(chain_indices)
+    return np.concatenate([np.flatnonzero(ci == c)
+                           for c in sorted(set(int(x) for x in ci))])
+
+
 def residue_keep_indices(chain_indices: np.ndarray) -> np.ndarray:
     """Token indices (after the cls token is stripped) that correspond to
     residues in the sequence built by :func:`build_chain_separated_sequence`.
@@ -81,7 +95,7 @@ def get_esm_extractor(model_name: str = ESM_MODEL_NAME, device: str = "cpu",
     torch model on GPU. ``backend="torch"`` keeps a torch-CPU path for
     cross-checking. Both use the in-repo fixed ESM alphabet tokenizer, so no
     tokenizer download is needed."""
-    cache_key = (model_name, backend)
+    cache_key = (model_name, backend, device)
     if cache_key in _extractor_cache:
         return _extractor_cache[cache_key]
     try:
@@ -122,22 +136,28 @@ def get_esm_extractor(model_name: str = ESM_MODEL_NAME, device: str = "cpu",
     def extract(residue_types, chain_indices, mask_positions=None):
         seq = build_chain_separated_sequence(residue_types, chain_indices, mask_positions)
         reps = run_tokens(tokenize(seq))[1:-1]  # drop cls/eos
-        # keep residue positions only (pads between chains are dropped)
+        # keep residue positions only (pads between chains are dropped);
+        # reps[keep] rows follow the emitted (chain-grouped) order — map
+        # them back so row i is residue i even when chain_indices is not
+        # non-decreasing (masked residues become chain 0, see
+        # chain_grouped_order)
         keep = residue_keep_indices(chain_indices)
-        return reps[keep].astype(np.float32)
+        perm = chain_grouped_order(chain_indices)
+        out = np.empty((len(perm), reps.shape[-1]), np.float32)
+        out[perm] = reps[keep]
+        return out
 
     _extractor_cache[cache_key] = extract
     return extract
 
 
-def load_precomputed(path: str, entry_key: str) -> Optional[np.ndarray]:
-    """[L, 1280] embeddings from ``<path>/<entry_key>.npy`` (or .npz with
-    'wt'/'mut' arrays)."""
-    base = Path(path)
-    npy = base / f"{entry_key}.npy"
-    if npy.exists():
-        return np.load(npy).astype(np.float32)
-    npz = base / f"{entry_key}.npz"
+def load_precomputed(path: str, entry_key: str) -> Optional[dict]:
+    """Precomputed embeddings from ``<path>/<entry_key>.npz`` — arrays
+    keyed 'wt'/'mut' ([L, 1280] each), the format the esm-mode trainer's
+    cache writes and ``packppi-ddg --esm_dir`` consumes. (A bare .npy was
+    once accepted but can never satisfy the wt+mut contract, so it was a
+    dead path.)"""
+    npz = Path(path) / f"{entry_key}.npz"
     if npz.exists():
         with np.load(npz) as z:
             return {k: z[k].astype(np.float32) for k in z.files}

@@ -83,6 +83,19 @@ class BucketedLoader:
         (e.g. packppi-ddg --eval_csv) align against this."""
         return self._plan()
 
+    def first_batch(self):
+        """First batch of the current plan, built synchronously (None if
+        the plan is empty). Use this for shape/init templates: taking
+        ``next(iter(loader))`` and abandoning the iterator leaves its
+        prefetch worker blocked on a full queue for process lifetime,
+        pinning ``prefetch+1`` featurized batches in host memory."""
+        batches = self._plan()
+        if not batches:
+            return None
+        feats = [self.dataset[i] for i in batches[0]]
+        target = max(bucket_length(len(f["residue_type"])) for f in feats)
+        return self.stack_fn(feats, target_len=target)
+
     def __iter__(self) -> Iterator:
         batches = self._plan()
         self.epoch += 1

@@ -180,9 +180,12 @@ def train_diffusion(cfg) -> dict:
 
     key = jax.random.key(cfg.seed)
     key, k_init = jax.random.split(key)
-    init_batch = next(iter(loaders["val"]), None)
+    # first_batch, not next(iter(...)): an abandoned iterator leaks its
+    # prefetch worker blocked on the full queue (with stacked batches
+    # pinned) for process lifetime
+    init_batch = loaders["val"].first_batch()
     if init_batch is None:
-        init_batch = next(iter(loaders["train"]), None)
+        init_batch = loaders["train"].first_batch()
     if init_batch is None:
         raise SystemExit("no full batch available; lower data.batch_size")
     state = init_state(model, k_init, init_batch, optimizer)
@@ -419,6 +422,14 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
                     len(splits["train"]) // max(1, cfg.data.batch_size)))
     n_devices = dp * mp
     global_batch = cfg.data.batch_size * dp
+    if len(splits["train"]) < global_batch:
+        # esm_batches' shuffle branch drops the ragged tail; without this
+        # guard a split smaller than one batch trains ZERO steps per epoch
+        # while validation still runs and checkpoints the random init as
+        # 'best' (the structure-mode path has the same guard)
+        raise SystemExit(
+            f"train split ({len(splits['train'])} mutations) yields no full "
+            f"batches at global batch {global_batch} — lower data.batch_size")
     if n_devices > 1:
         # DP over the mesh: embedding batches shard over 'data'; with
         # trainer.model_parallel > 1 the wide ESM projection kernels
@@ -562,7 +573,7 @@ def train_affinity(cfg) -> dict:
             f"batches at global batch {global_batch} "
             f"(data.batch_size x {max(1, n_devices)} devices) — lower "
             "data.batch_size or trainer.n_devices")
-    init_batch = next(iter(loaders["train"]))
+    init_batch = loaders["train"].first_batch()
     if cfg.get("pre_checkpoint_path"):
         template = jax.eval_shape(lambda: model.backbone.init(jax.random.key(0), init_batch.wild()))
         backbone_params = load_model_params(cfg.pre_checkpoint_path, template)
@@ -573,7 +584,6 @@ def train_affinity(cfg) -> dict:
     # affinity checkpoints are self-contained (packppi-ddg --pre_ckpt
     # <out>/backbone reproduces inference regardless of where the backbone
     # came from)
-    from packppi_tpu.train.checkpoints import save_params
     save_params(out / "backbone", backbone_params)
 
     params = model.init(kn, init_batch, backbone_params)

@@ -16,6 +16,7 @@ from packppi_tpu.chem import RESTYPES
 from packppi_tpu.data.esm import (
     _PAD_RUN,
     build_chain_separated_sequence,
+    chain_grouped_order,
     residue_keep_indices,
 )
 
@@ -107,3 +108,24 @@ class TestKeepIndices:
         body = esm_tokenize(seq)[1:-1]
         ours = [body[k] for k in residue_keep_indices(chains)]
         assert ours == ["A", "C", "<mask>", "<mask>", "L", "M"]
+
+    def test_nonmonotonic_chain_indices_realign(self):
+        """A residue_mask=0 residue mid-chain becomes chain 0 in featurize
+        (chain_indices * residue_mask), which build_chain_separated_sequence
+        emits FIRST. reps[keep][chain_grouped_order-inverse] must still give
+        row i == residue i — the extract() contract this regression locks
+        (every residue after the masked one used to receive its neighbor's
+        embedding)."""
+        rt = _restype_indices("ACDKLM")
+        # featurize output for chains [1,1,1,2,2,2] with residue 2 masked
+        chains = np.array([1, 1, 0, 2, 2, 2])
+        seq = build_chain_separated_sequence(rt, chains)
+        body = esm_tokenize(seq)[1:-1]
+        # emitted order: the chain-0 'D' first, then AC, then KLM
+        assert "".join(t for t in body if t != "<pad>") == "DACKLM"
+        keep = residue_keep_indices(chains)
+        perm = chain_grouped_order(chains)
+        out = [None] * len(rt)
+        for dst, k in zip(perm, keep):
+            out[dst] = body[k]
+        assert out == ["A", "C", "D", "K", "L", "M"]
