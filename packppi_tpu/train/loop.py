@@ -26,6 +26,23 @@ from packppi_tpu.utils.logging import MetricLogger, get_logger
 log = get_logger(__name__)
 
 
+def init_ema(cfg, params, resume):
+    """Shared EMA bootstrap for all three trainers: returns
+    ``(ema_decay, ema, ema_step)`` — ema/ema_step are None when disabled.
+
+    ``jnp.array`` COPIES deliberately: ema_step donates the ema buffer, so
+    it must not alias the live params. A ``<resume>_ema`` sidecar written
+    by CheckpointManager resumes the EMA stream alongside the params."""
+    ema_decay = float(cfg.trainer.get("ema_decay", 0.0) or 0.0)
+    if ema_decay <= 0.0:
+        return ema_decay, None, None
+    ema = jax.tree.map(jnp.array, params)
+    if resume and Path(f"{resume}_ema").exists():
+        ema = load_params(f"{resume}_ema", jax.eval_shape(lambda: ema))
+    ema_step = jax.jit(make_ema_update(ema_decay), donate_argnums=(0,))
+    return ema_decay, ema, ema_step
+
+
 class CheckpointManager:
     """top-k-by-metric + always-last retention over orbax saves."""
 
@@ -198,14 +215,7 @@ def train_diffusion(cfg) -> dict:
         state = load_params(resume, jax.eval_shape(lambda: state))
         start_epoch = int(state.step) // max(1, len(loaders["train"]))
 
-    ema_decay = float(cfg.trainer.get("ema_decay", 0.0) or 0.0)
-    ema = None
-    if ema_decay > 0.0:
-        # jnp.array COPIES: ema_step donates the ema buffer, so it must
-        # never alias state.params
-        ema = jax.tree.map(jnp.array, state.params)
-        if resume and Path(f"{resume}_ema").exists():
-            ema = load_params(f"{resume}_ema", jax.eval_shape(lambda: ema))
+    ema_decay, ema, ema_step = init_ema(cfg, state.params, resume)
 
     if n_devices > 1:
         # SPMD: batch over 'data' (ICI all-reduce on grads), large kernels
@@ -244,9 +254,6 @@ def train_diffusion(cfg) -> dict:
         train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
         eval_loss = jax.jit(model.loss)
         sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=cfg.sample.n_diffusion_steps))
-
-    ema_step = (jax.jit(make_ema_update(ema_decay), donate_argnums=(0,))
-                if ema is not None else None)
 
     # ---- epochs -------------------------------------------------------------
     best_val = float("inf")
@@ -401,10 +408,7 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
         params = load_params(resume, jax.eval_shape(lambda: params))
     optimizer = optax.adamw(cfg.trainer.lr, weight_decay=cfg.trainer.weight_decay)
     opt_state = optimizer.init(params)
-    ema_decay = float(cfg.trainer.get("ema_decay", 0.0) or 0.0)
-    ema = jax.tree.map(jnp.array, params) if ema_decay > 0.0 else None
-    if ema is not None and resume and Path(f"{resume}_ema").exists():
-        ema = load_params(f"{resume}_ema", jax.eval_shape(lambda: ema))
+    ema_decay, ema, ema_step = init_ema(cfg, params, resume)
 
     def _train_step(params, opt_state, wt, mt, ddg):
         loss, grads = jax.value_and_grad(model.loss_esm)(params, wt, mt, ddg)
@@ -470,9 +474,6 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
             w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
             yield (*put(jnp.asarray(wt), jnp.asarray(mt), jnp.asarray(ddg)),
                    put(jnp.asarray(w))[0])
-
-    ema_step = (jax.jit(make_ema_update(ema_decay), donate_argnums=(0,))
-                if ema is not None else None)
 
     ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
     best_val, step = float("inf"), 0
@@ -596,11 +597,7 @@ def train_affinity(cfg) -> dict:
                             weight_decay=cfg.trainer.weight_decay)
     opt_state = optimizer.init(params)
     step = 0
-    ema_decay = float(cfg.trainer.get("ema_decay", 0.0) or 0.0)
-    # jnp.array COPIES (ema_step donates; must not alias params)
-    ema = jax.tree.map(jnp.array, params) if ema_decay > 0.0 else None
-    if ema is not None and resume and Path(f"{resume}_ema").exists():
-        ema = load_params(f"{resume}_ema", jax.eval_shape(lambda: ema))
+    ema_decay, ema, ema_step = init_ema(cfg, params, resume)
 
     def _train_step(params, opt_state, key, batch):
         loss, grads = jax.value_and_grad(
@@ -647,9 +644,6 @@ def train_affinity(cfg) -> dict:
         train_step = jax.jit(_train_step)
         eval_step = jax.jit(lambda p, k, b: model.loss(p, backbone_params, k, b))
         predict = jax.jit(lambda p, b: model.predict(p, backbone_params, b)[0])
-
-    ema_step = (jax.jit(make_ema_update(ema_decay), donate_argnums=(0,))
-                if ema is not None else None)
 
     ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)
     best_val = float("inf")
