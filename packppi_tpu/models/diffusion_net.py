@@ -132,7 +132,11 @@ class ChiScoreNetwork(nn.Module):
         if isinstance(h_E, tuple):
             q, scale = h_E
             return q.astype(dtype or jnp.float32) * scale.astype(dtype or jnp.float32)
-        return h_E
+        # static_edge_dtype is a STORAGE dtype: restore the compute dtype on
+        # read. Without this cast a bf16 cache under f32 compute silently
+        # became the stream dtype for the whole edge pipeline (while the
+        # NARROWER int8 cache correctly dequantized to f32).
+        return h_E.astype(dtype or jnp.float32)
 
     def __call__(self, batch: ProteinBatch, SC_D_noised: jnp.ndarray,
                  t: jnp.ndarray, deterministic: bool = True, static=None,

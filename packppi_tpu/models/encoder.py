@@ -60,8 +60,12 @@ class ProteinEncoder(nn.Module):
         return jnp.exp(-(((D[..., None] - mu) / sigma) ** 2))
 
     def _relpos(self, residue_index, idx):
-        offset = residue_index[..., :, None] - residue_index[..., None, :]
-        offset = jnp.take_along_axis(offset, idx, axis=-1)
+        # gather-then-subtract: building the [B, L, L] offset matrix first
+        # materializes it as a gather operand (take_along_axis cannot fuse
+        # its operand's producer) — ~67 MB int32 at L=4096 — where the
+        # gathered form stays O(L*K); values are identical
+        nbr_index = gather_nodes(residue_index[..., None], idx)[..., 0]
+        offset = residue_index[..., :, None] - nbr_index
         clipped = jnp.clip(offset + self.max_relative_feature, 0, 2 * self.max_relative_feature)
         return jax.nn.one_hot(clipped, 2 * self.max_relative_feature + 1, dtype=jnp.float32)
 
@@ -96,8 +100,10 @@ class ProteinEncoder(nn.Module):
 
         relpos = self._relpos(residue_index, idx)
         rbfs = self._atomic_rbfs(N, CA, C, O, idx)
-        same_chain = (chain_indices[:, :, None] == chain_indices[:, None, :]).astype(jnp.float32)
-        e_type = jnp.take_along_axis(same_chain, idx, axis=2)[..., None] + 1.0
+        # gather-then-compare (same O(L*K) rationale as _relpos)
+        nbr_chain = gather_nodes(chain_indices[..., None], idx)[..., 0]
+        same_chain = (chain_indices[:, :, None] == nbr_chain).astype(jnp.float32)
+        e_type = same_chain[..., None] + 1.0
         dihed = self._pairwise_dihedrals(N, CA, C, idx)
 
         h_E = jnp.concatenate([relpos.astype(jnp.float32), rbfs, e_type, dihed], -1)

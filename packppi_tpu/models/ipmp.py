@@ -18,9 +18,6 @@ from packppi_tpu.models.layers import MLP
 from packppi_tpu.ops.graph import gather_nodes
 
 
-def _norm(v, eps=1e-8):
-    return jnp.sqrt(jnp.sum(v * v, -1) + eps)
-
 
 def geometry_global_points(p_local: jnp.ndarray, frames) -> jnp.ndarray:
     """[B, L, 3P] plane-stacked global points ``[pgx | pgy | pgz]`` where
@@ -304,7 +301,10 @@ class FactoredMessageMLP(nn.Module):
         per_i = self._mm(h_V, self.Dense_i.kernel)
         per_j = self._mm(h_V, self.Dense_j.kernel)
 
-        if fused:
+        # init must not trace the Pallas kernel (fails to lower off-TPU and
+        # would compile a throwaway executable on it); all params live in
+        # setup, so the jnp branch initializes the identical tree
+        if fused and not self.is_initializing():
             from packppi_tpu.ops.pallas_ipmp import fused_message_diff
 
             He = self.edge_dim
@@ -409,7 +409,10 @@ class InvariantPointLayer(nn.Module):
             geom = self._geometry_features(h_V, idx, frames, points_node, rel)
             msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)(
                 h_V, h_E, idx, geom, mask_attend, pool=True,
-                fused=bool(fused) and fused != "geom",
+                # 'geom' with the local-rel cache active falls back to the
+                # STANDARD fused kernel over the precomputed features (the
+                # in-kernel-geometry variant needs global points)
+                fused=bool(fused),
                 # jvp: XLA's training fusion context leaves the custom call
                 # less scoped-VMEM headroom — blk=128 overflows the 16M
                 # stack by 128K at B4/L1024 (measured); 64 fits
@@ -439,7 +442,7 @@ class InvariantPointLayer(nn.Module):
                 geom = self._geometry_features(h_V, idx, frames, points_edge, rel)
                 e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)(
                     h_V, h_E, idx, geom, mask_attend, pool=False,
-                    fused=bool(fused) and fused != "geom",
+                    fused=bool(fused),
                     blk=128 if deterministic else 64)
             # run the residual/LN/FFN chain on a flat [B, L*K, He] stream:
             # 4-D [B, L, K, He] dots push XLA:TPU into a convolution-style
@@ -474,7 +477,7 @@ class VanillaMPNNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X=None, mask_V=None, mask_attend=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, do_edge_update: bool = True):
         h_V_j = gather_nodes(h_V, idx)
         h_V_i = jnp.broadcast_to(h_V[:, :, None], h_V_j.shape)
         h_in = jnp.concatenate([h_V_i, h_E, h_V_j], -1)
@@ -489,7 +492,10 @@ class VanillaMPNNLayer(nn.Module):
         if mask_V is not None:
             h_V = h_V * mask_V[..., None]
 
-        if self.edge_update:
+        if self.edge_update and (do_edge_update or self.is_initializing()):
+            # same dead-compute skip as the IPMP branch: the final layer's
+            # edge output feeds nothing (init still creates the params so
+            # the tree is schedule-independent)
             h_V_j = gather_nodes(h_V, idx)
             h_V_i = jnp.broadcast_to(h_V[:, :, None], h_V_j.shape)
             h_in = jnp.concatenate([h_V_i, h_E, h_V_j], -1)
@@ -555,5 +561,6 @@ class MessagePassingStack(nn.Module):
                 h_V, h_E = VanillaMPNNLayer(
                     self.hidden_dim, self.dropout, self.act,
                     edge_update=True, scale=float(self.k_neighbors),
-                )(h_V, h_E, idx, X, mask, mask_attend, deterministic)
+                )(h_V, h_E, idx, X, mask, mask_attend, deterministic,
+                  do_edge_update=not (last and skip_last_edge_update))
         return h_V

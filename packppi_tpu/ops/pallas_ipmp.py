@@ -35,7 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _act(name: str):
-    return {"relu": jax.nn.relu, "gelu": jax.nn.gelu, "silu": jax.nn.silu}[name]
+    """Same activation table as the unfused path (models/layers._ACTS) —
+    all are VPU-elementwise and lower fine inside Pallas; a narrower table
+    here would break the fused/unfused parity contract for configs like
+    act='elu' at kernel-trace time."""
+    return {"relu": jax.nn.relu, "gelu": jax.nn.gelu, "silu": jax.nn.silu,
+            "elu": jax.nn.elu, "selu": jax.nn.selu, "celu": jax.nn.celu,
+            "leaky_relu": jax.nn.leaky_relu, "sigmoid": jax.nn.sigmoid}[name]
 
 
 def _message_chain(x, w1, b1, w2, b2, act):

@@ -47,7 +47,9 @@ _LN_EPS = 1e-6  # flax.linen.LayerNorm default
 
 
 def _act(name: str):
-    return {"relu": jax.nn.relu, "gelu": jax.nn.gelu, "silu": jax.nn.silu}[name]
+    # keep in lockstep with models/layers._ACTS (fused/unfused parity)
+    from packppi_tpu.ops.pallas_ipmp import _act as _shared_act
+    return _shared_act(name)
 
 
 def _ln(x, scale, bias):

@@ -26,10 +26,6 @@ from packppi_tpu.data.batch import ProteinBatch
 from packppi_tpu.ops.clash import compute_residue_clash
 
 
-def _masked_mean(x, mask, eps=1e-10):
-    return (x * mask).sum() / (mask.sum() + eps)
-
-
 def _row_mean(x, mask, eps=1e-10):
     """Per-complex masked mean over all but the batch axis. [B]"""
     axes = tuple(range(1, x.ndim))

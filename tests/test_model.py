@@ -273,8 +273,12 @@ def test_geometry_features_soa_matches_aos(small_batch):
 
     from packppi_tpu.geometry.rigid import (Rigid, bb_frames_from_atom14,
                                             invert_apply, rigid_apply)
-    from packppi_tpu.models.ipmp import InvariantPointLayer, _norm
+    from packppi_tpu.models.ipmp import InvariantPointLayer
     from packppi_tpu.ops.graph import gather_nodes, masked_knn
+
+    # the original AoS norm (the oracle's own formulation, kept here — the
+    # production SoA path inlines per-component sums instead)
+    _norm = lambda v, eps=1e-8: jnp.sqrt(jnp.sum(v * v, -1) + eps)
 
     batch = small_batch
     B, L = batch.residue_mask.shape
