@@ -132,4 +132,14 @@ def run_chunks(by_bucket: dict, per_chunk: int, dispatch, submit_writes,
                 padded = chunk + [chunk[-1]] * (per_chunk - len(chunk))
                 out = dispatch(padded, bucket)
                 submit_writes(pool, futures, chunk, out)
-        return [f.result() for f in futures]
+        # one bad structure (or a missing metric binary) must not discard
+        # the whole run's records after the device work already finished —
+        # failures become per-record errors and summary.json still writes
+        results = []
+        for f in futures:
+            try:
+                results.append(f.result())
+            except Exception as e:  # noqa: BLE001 — recorded, not hidden
+                print(f"writer task failed: {type(e).__name__}: {e}")
+                results.append({"error": f"{type(e).__name__}: {e}"})
+        return results

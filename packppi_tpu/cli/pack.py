@@ -319,9 +319,12 @@ def run_directory(args) -> list:
                 # (reference guard: src/eval_diffusion.py:43-50)
                 rec["metrics"] = {"skipped": "no side chains in input"}
             else:
-                m = analysis.get_metric(str(path), str(out_path)) or {}
-                rec["metrics"] = {k: (float(v) if isinstance(v, (int, float, np.floating))
-                                      else v) for k, v in m.items()}
+                try:
+                    m = analysis.get_metric(str(path), str(out_path)) or {}
+                    rec["metrics"] = {k: (float(v) if isinstance(v, (int, float, np.floating))
+                                          else v) for k, v in m.items()}
+                except Exception as e:  # metric failure must not void the write
+                    rec["metrics"] = {"error": f"{type(e).__name__}: {e}"}
         return rec
 
     def _dispatch(padded, bucket):

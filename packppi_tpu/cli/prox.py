@@ -80,7 +80,12 @@ def run(args) -> dict:
     accepted = float(res.losses[-1]) < float(res.losses[0])
     sc_final = res.SC_D if accepted else batch.SC_D
     if not accepted:
-        print("objective did not decrease; keeping input conformation")
+        # NOTE the written structure is still REBUILT at ideal bond geometry
+        # from the input chis (reference parity: src/proximal_optimize.py:
+        # 50-55 runs get_atom14_coords on batch.SC_D either way), so its
+        # clashscore can differ from the raw input's
+        print("objective did not decrease; keeping input chi angles "
+              "(coordinates re-idealized, as in the reference)")
 
     coords = jax.jit(lambda b, sc: atom14_coords_from_torsions(
         b.X, b.residue_type, b.BB_D, sc))(batch, sc_final)
@@ -174,8 +179,11 @@ def run_directory(args) -> list:
                "accepted": bool(accepted),
                "objective_initial": float(l0), "objective_final": float(l1)}
         if analysis is not None:
-            rec["clashscore_before"] = analysis.get_clashscore(str(path))
-            rec["clashscore_after"] = analysis.get_clashscore(str(out_path))
+            try:
+                rec["clashscore_before"] = analysis.get_clashscore(str(path))
+                rec["clashscore_after"] = analysis.get_clashscore(str(out_path))
+            except Exception as e:  # metric failure must not void the write
+                rec["clashscore_error"] = f"{type(e).__name__}: {e}"
         return rec
 
     def _dispatch(padded, bucket):

@@ -21,9 +21,10 @@ from packppi_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
-def scan_complex_dir(path: str, suffix: str = "_rc",
-                     len_region: Sequence[int] = (10, 3000)) -> list[str]:
-    """PDB codes in ``path`` whose files look like ``<code><suffix>.pdb``."""
+def scan_complex_dir(path: str, suffix: str = "_rc") -> list[str]:
+    """PDB codes in ``path`` whose files look like ``<code><suffix>.pdb``.
+    (Length filtering happens in ``ComplexDataset.filtered()``, which can
+    read cached lengths — a filter here would force a parse per file.)"""
     out = []
     for f in sorted(Path(path).glob(f"*{suffix}.pdb")):
         out.append(f.name[: -len(suffix) - 4] if suffix else f.stem)
@@ -33,9 +34,27 @@ def scan_complex_dir(path: str, suffix: str = "_rc",
 def split_entries(entries: list[str], fractions: Sequence[float] = (0.8, 0.1, 0.1),
                   seed: int = 42, split_file: Optional[str] = None) -> dict[str, list[str]]:
     """Seeded random train/val/test split, persisted as JSON for stability
-    across runs (the reference pickles the same structure)."""
+    across runs (the reference pickles the same structure and returns it
+    VERBATIM forever — reference: complex_datamodule.py:58-74). A reused
+    split is reconciled against the current directory: codes that vanished
+    are pruned (they would only surface later as per-entry parse errors)
+    and NEW codes are reported — they stay out of every split so a stale
+    shared split file cannot silently change what 'test' meant."""
     if split_file and Path(split_file).exists():
-        return json.loads(Path(split_file).read_text())
+        splits = json.loads(Path(split_file).read_text())
+        present = set(entries)
+        persisted = {c for v in splits.values() for c in v}
+        missing = persisted - present
+        if missing:
+            log.warning(f"split file {split_file}: pruning "
+                        f"{len(missing)} persisted code(s) no longer on disk")
+            splits = {k: [c for c in v if c in present] for k, v in splits.items()}
+        new = present - persisted
+        if new:
+            log.warning(f"split file {split_file}: {len(new)} new code(s) on "
+                        "disk are NOT in the persisted split and will be "
+                        "unused; delete the split file to re-split")
+        return splits
     rng = np.random.default_rng(seed)
     order = list(entries)
     rng.shuffle(order)
@@ -122,23 +141,43 @@ class ComplexDataset:
         return out
 
     def filtered(self) -> "ComplexDataset":
-        """Drop entries outside len_region (parses everything once; results
-        are cached). Mirrors the reference datamodule's length filter
-        (reference: configs/datamodule/complexData.yaml:11)."""
+        """Drop entries outside len_region. Mirrors the reference
+        datamodule's length filter (reference:
+        configs/datamodule/complexData.yaml:11) — but resolves lengths from
+        the manifest / npz feature cache when available, so a warm-cache
+        training startup never re-featurizes the corpus (the module
+        contract: parse+featurize once per structure EVER); only fresh
+        structures are featurized here, and their features are cached."""
+        if self._length_cache is None:
+            mp = self._manifest_path()
+            self._length_cache = (json.loads(mp.read_text())
+                                  if mp and mp.exists() else {})
         keep = []
         for code in self.entries:
-            try:
-                feats = featurize(from_pdb_file(self.pdb_path(code), mse_to_met=True))
-            except Exception as e:
-                log.warning(f"skipping {code}: parse failed ({e})")
-                continue
-            L = len(feats["residue_type"])
+            L = self._length_cache.get(code)
+            npz = (self.cache_dir / f"{code}.npz") if self.cache_dir else None
+            if L is None and npz is not None and npz.exists():
+                with np.load(npz) as z:
+                    L = int(z["residue_type"].shape[0])
+                self._length_cache[code] = L
+                self._manifest_dirty = True
+            if L is None:
+                try:
+                    feats = featurize(from_pdb_file(self.pdb_path(code),
+                                                    mse_to_met=True))
+                except Exception as e:
+                    log.warning(f"skipping {code}: parse failed ({e})")
+                    continue
+                L = len(feats["residue_type"])
+                self._length_cache[code] = L
+                self._manifest_dirty = True
+                if npz is not None and self.len_region[0] <= L <= self.len_region[1]:
+                    np.savez_compressed(npz, **feats)
             if self.len_region[0] <= L <= self.len_region[1]:
                 keep.append(code)
-                if self.cache_dir and not (self.cache_dir / f"{code}.npz").exists():
-                    np.savez_compressed(self.cache_dir / f"{code}.npz", **feats)
             else:
                 log.warning(f"skipping {code}: {L} residues outside {self.len_region}")
+        self._save_manifest()
         return ComplexDataset(str(self.pdb_dir), keep,
                               cache_dir=str(self.cache_dir) if self.cache_dir else None,
                               suffix=self.suffix, len_region=self.len_region)

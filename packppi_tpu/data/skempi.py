@@ -113,9 +113,21 @@ def apply_mutations(protein: Protein, mutations: list[dict], strict: bool = True
         if mut["chain"] not in chains or mut["mt"] not in RESTYPES:
             log.warning(f"ignoring mutation {mut['name']}: chain or type not applicable")
             continue
+        # NOTE matching runs against the parser's insertion-OFFSET numbering
+        # (reference parity: both protein.py readers bump resseq past icode
+        # residues, and the reference matches the same shifted index —
+        # src/datamodules/components/skempi_dataset.py:130; its no-match
+        # failure mode is an opaque list-index crash). A silent drop here
+        # would keep the entry's nonzero ddG with an all-zero mut_mask —
+        # corrupted training data — so strict mode raises instead.
         sel = (chains == mut["chain"]) & (protein.residue_index == mut["resseq"])
         if not sel.any():
-            log.warning(f"ignoring mutation {mut['name']}: residue not found")
+            msg = (f"mutation {mut['name']}: residue not found (chain "
+                   f"{mut['chain']} resseq {mut['resseq']} after insertion-"
+                   f"code offsets)")
+            if strict:
+                raise ValueError(msg)
+            log.warning(f"ignoring {msg}")
             continue
         wt_found = RESTYPES[int(protein.aaindex[sel][0])]
         if wt_found != mut["wt"]:

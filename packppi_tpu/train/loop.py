@@ -159,7 +159,7 @@ def train_diffusion(cfg) -> dict:
     (out / "config.json").write_text(json.dumps(cfg.to_dict(), indent=1, default=str))
 
     # ---- data ---------------------------------------------------------------
-    codes = scan_complex_dir(cfg.data.data_dir, cfg.data.pdb_suffix, cfg.data.len_region)
+    codes = scan_complex_dir(cfg.data.data_dir, cfg.data.pdb_suffix)
     if not codes:
         raise SystemExit(f"no PDBs matching *{cfg.data.pdb_suffix}.pdb in {cfg.data.data_dir}")
     splits = split_entries(codes, cfg.data.split_fractions, cfg.data.split_seed,

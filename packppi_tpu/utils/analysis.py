@@ -95,7 +95,11 @@ class ProteinAnalysis:
 
         clashscore = self.get_clashscore(pred_pdb)
         metric["clashscore"] = clashscore
-        metric["clashscore_is_exact"] = self.molprobity_clash_loc is not None
+        # exact ONLY when the binary actually produced a number — a failed
+        # parse returns None, and {'clashscore': None, 'is_exact': True}
+        # would tell downstream tooling to trust a missing value
+        metric["clashscore_is_exact"] = (self.molprobity_clash_loc is not None
+                                         and clashscore is not None)
         return metric
 
     # ---- baseline packers ---------------------------------------------------
@@ -103,13 +107,21 @@ class ProteinAnalysis:
     def run_tool(self, in_pdb: str, tool_name: str) -> Optional[dict]:
         """Run an external side-chain packer and score it with the same suite
         (comparison baselines; reference: src/utils/protein_analysis.py:124-140)."""
-        out_pdb = str(self.tmp_dir / "baseline.pdb")
+        out_pdb = Path(self.tmp_dir) / "baseline.pdb"
+        # a stale output from a previous call must never be scored as this
+        # call's result (the packers give no useful exit codes, so absence
+        # of a fresh file is the failure signal)
+        out_pdb.unlink(missing_ok=True)
         if tool_name == "scwrl" and self.scwrl_loc:
-            subprocess.run([self.scwrl_loc, "-i", in_pdb, "-o", out_pdb],
-                           stdout=subprocess.DEVNULL)
+            proc = subprocess.run([self.scwrl_loc, "-i", in_pdb, "-o", str(out_pdb)],
+                                  stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
         elif tool_name == "faspr" and self.faspr_loc:
-            subprocess.run([self.faspr_loc, "-i", in_pdb, "-o", out_pdb],
-                           stdout=subprocess.DEVNULL)
+            proc = subprocess.run([self.faspr_loc, "-i", in_pdb, "-o", str(out_pdb)],
+                                  stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
         else:
             raise ValueError(f"tool {tool_name!r} not configured")
-        return self.get_metric(in_pdb, out_pdb)
+        if not out_pdb.exists():
+            err = (proc.stderr or b"").decode(errors="replace")[-500:]
+            raise RuntimeError(f"{tool_name} produced no output for {in_pdb}"
+                               + (f": {err}" if err.strip() else ""))
+        return self.get_metric(in_pdb, str(out_pdb))

@@ -43,7 +43,17 @@ class Config(dict):
         return obj
 
     def to_dict(self):
-        return {k: (v.to_dict() if isinstance(v, Config) else v) for k, v in self.items()}
+        def unwrap(v):
+            if isinstance(v, Config):
+                return v.to_dict()
+            if isinstance(v, list):
+                # wrap() converts dicts INSIDE lists to Config too; without
+                # unwrapping them here yaml.safe_dump(cfg.to_dict()) raises
+                # RepresenterError for any list-of-mappings value
+                return [unwrap(x) for x in v]
+            return v
+
+        return {k: unwrap(v) for k, v in self.items()}
 
 
 def _deep_merge(base: dict, extra: dict) -> dict:
@@ -193,5 +203,15 @@ def load_config(path: str, overrides: Optional[list[str]] = None) -> Config:
             cur = cur.setdefault(p, {})
         cur[parts[-1]] = _parse_value(val)
 
-    merged = _resolve_interpolations(merged, merged)
+    # iterate to a fixpoint: a ${ref} may point at a key whose value is
+    # itself an interpolation (single-pass left the literal '${...}' string
+    # in place); the depth cap turns reference cycles into a clear error
+    for _ in range(10):
+        resolved = _resolve_interpolations(merged, merged)
+        if resolved == merged:
+            break
+        merged = resolved
+    else:
+        raise ValueError("config interpolation did not converge in 10 passes "
+                         "(circular ${...} references?)")
     return Config.wrap(merged)
