@@ -178,9 +178,15 @@ class AffinityModel:
         w = weights / jnp.maximum(weights.sum(), 1e-9)
         return 0.5 * (jnp.sum(w * (pred - y) ** 2) + jnp.sum(w * (pred_inv + y) ** 2))
 
-    def loss(self, params, backbone_params, key, batch: AffinityBatch):
-        """Antisymmetric MSE (reference: src/models/AffinityPrediction.py:189-194)."""
+    def loss(self, params, backbone_params, key, batch: AffinityBatch,
+             deterministic: bool = False):
+        """Antisymmetric MSE (reference: src/models/AffinityPrediction.py:189-194).
+
+        ``deterministic=True`` disables dropout — validation/test must use
+        it (the reference evaluates under Lightning eval mode); the default
+        False is the training path."""
         ddg, ddg_inv = self.predict(params, backbone_params, batch,
-                                    deterministic=False, rngs={"dropout": key})
+                                    deterministic=deterministic,
+                                    rngs={"dropout": key})
         y = jnp.asarray(batch.ddg)
         return 0.5 * (jnp.mean((ddg - y) ** 2) + jnp.mean((ddg_inv + y) ** 2))

@@ -81,7 +81,8 @@ class TorsionalDiffusion:
 
     # ---- training loss ------------------------------------------------------
 
-    def loss(self, params, key, batch: ProteinBatch, eps: float = 1e-6):
+    def loss(self, params, key, batch: ProteinBatch, eps: float = 1e-6,
+             deterministic: bool = False):
         """Score-matching loss, normalized per chi by E[score^2].
 
         One uniform t per protein, broadcast over residues (reference:
@@ -93,7 +94,13 @@ class TorsionalDiffusion:
         sigma = self.schedule_2pi.t_to_sigma(t)[..., None]  # same map for both
 
         noised, target = self.add_chi_noise(kn, batch, t)
-        pred, _ = self.apply(params, batch, noised, t, deterministic=False,
+        # deterministic=True turns dropout off: validation/test loss must
+        # use it (the reference evaluates under Lightning eval mode — with
+        # dropout active, val/loss compares dropout noise across epochs and
+        # best-checkpoint selection keys on a lucky draw). t/noise sampling
+        # stays stochastic in eval, as in the reference.
+        pred, _ = self.apply(params, batch, noised, t,
+                             deterministic=deterministic,
                              rngs={"dropout": kd})
 
         sn_pi = self.schedule_pi.tables.lookup_score_norm(sigma)

@@ -43,10 +43,12 @@ def make_train_step(model: TorsionalDiffusion, optimizer: optax.GradientTransfor
         key, k_loss = jax.random.split(jax.random.wrap_key_data(state.key))
         loss, grads = jax.value_and_grad(model.loss)(state.params, k_loss, batch)
         ok = jnp.isfinite(loss)
-        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        # skip the whole update when the loss is invalid: params AND
+        # opt_state revert below, so the reverted branch may compute
+        # non-finite intermediates freely (where() selects the old values
+        # element-wise; no NaN leaks through the select)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        # skip the whole update when the loss is invalid
         params = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
                               params, state.params)
         opt_state = jax.tree.map(
@@ -71,9 +73,3 @@ def make_ema_update(decay: float):
         return jax.tree.map(lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
                             ema, params)
     return ema_update
-
-
-def make_eval_step(model: TorsionalDiffusion):
-    def eval_step(params, key, batch: ProteinBatch):
-        return model.loss(params, key, batch)
-    return eval_step

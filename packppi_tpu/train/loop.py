@@ -242,9 +242,13 @@ def train_diffusion(cfg) -> dict:
                              in_shardings=(state_shard, b_shard),
                              out_shardings=(state_shard, replicated(mesh)),
                              donate_argnums=(0,))
-        eval_loss = jax.jit(model.loss,
-                            in_shardings=(p_shard, replicated(mesh), b_shard),
-                            out_shardings=replicated(mesh))
+        # deterministic=True: validation/test run dropout-OFF (reference
+        # evaluates under Lightning eval mode; with dropout on, best-ckpt
+        # selection and early stopping compare dropout noise)
+        eval_loss = jax.jit(
+            lambda p, k, b: model.loss(p, k, b, deterministic=True),
+            in_shardings=(p_shard, replicated(mesh), b_shard),
+            out_shardings=replicated(mesh))
         sample_fn = jax.jit(
             lambda p, k, b: model.sample(p, k, b, n_steps=cfg.sample.n_diffusion_steps),
             in_shardings=(p_shard, replicated(mesh), b_shard),
@@ -252,7 +256,7 @@ def train_diffusion(cfg) -> dict:
     else:
         put_batch = lambda b: b
         train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
-        eval_loss = jax.jit(model.loss)
+        eval_loss = jax.jit(lambda p, k, b: model.loss(p, k, b, deterministic=True))
         sample_fn = jax.jit(lambda p, k, b: model.sample(p, k, b, n_steps=cfg.sample.n_diffusion_steps))
 
     # ---- epochs -------------------------------------------------------------
@@ -635,14 +639,17 @@ def train_affinity(cfg) -> dict:
         train_step = jax.jit(_train_step,
                              in_shardings=(p_shard, o_shard, rep, b_shard),
                              out_shardings=(p_shard, o_shard, rep))
-        eval_step = jax.jit(lambda p, k, b: model.loss(p, backbone_params, k, b),
-                            in_shardings=(p_shard, rep, b_shard), out_shardings=rep)
+        eval_step = jax.jit(
+            lambda p, k, b: model.loss(p, backbone_params, k, b,
+                                       deterministic=True),
+            in_shardings=(p_shard, rep, b_shard), out_shardings=rep)
         predict = jax.jit(lambda p, b: model.predict(p, backbone_params, b)[0],
                           in_shardings=(p_shard, b_shard), out_shardings=batch_sharding(mesh))
     else:
         put_batch = lambda b: b
         train_step = jax.jit(_train_step)
-        eval_step = jax.jit(lambda p, k, b: model.loss(p, backbone_params, k, b))
+        eval_step = jax.jit(lambda p, k, b: model.loss(
+            p, backbone_params, k, b, deterministic=True))
         predict = jax.jit(lambda p, b: model.predict(p, backbone_params, b)[0])
 
     ckpt_mgr = CheckpointManager(out / "checkpoints", top_k=cfg.trainer.checkpoint_top_k)

@@ -98,6 +98,27 @@ def test_affinity_forward_and_loss(brs, mode):
     assert np.isfinite(float(loss)) and float(loss) > 0
 
 
+def test_affinity_eval_loss_ignores_dropout_key(brs):
+    """The affinity loss's rng feeds ONLY dropout, so deterministic=True
+    (the trainers' eval path) must be key-invariant — and dropout-ON
+    training losses must vary by key (dropout actually firing)."""
+    feats = skempi_features(brs, [parse_mutation("KA25A")], ddg=1.0)
+    batch = stack_affinity_batch([feats])
+    model = AffinityModel.create(NetworkConfig(), mode="network")
+    kb, kn = jax.random.split(jax.random.key(0))
+    backbone_params = model.backbone.init(kb, batch.wild())
+    params = model.init(kn, batch, backbone_params)
+
+    l1 = float(model.loss(params, backbone_params, jax.random.key(1), batch,
+                          deterministic=True))
+    l2 = float(model.loss(params, backbone_params, jax.random.key(2), batch,
+                          deterministic=True))
+    assert l1 == l2
+    t1 = float(model.loss(params, backbone_params, jax.random.key(1), batch))
+    t2 = float(model.loss(params, backbone_params, jax.random.key(2), batch))
+    assert t1 != t2
+
+
 def test_affinity_memorization_probe(brs):
     """Learnability probe mirroring the diffusion memorization test: a
     handful of 1BRS mutations with fixed ddG labels must be fit to ~0 loss

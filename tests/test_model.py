@@ -71,6 +71,22 @@ def test_loss_decreases_under_no_noise_consistency(model, params, small_batch):
     assert l1 == l2
 
 
+def test_eval_loss_deterministic_disables_dropout(model, params, small_batch):
+    """loss(deterministic=True) must equal the loss of a dropout-0 model with
+    the same params/key (dropout OFF), and differ from the dropout-ON
+    training loss — the eval path trainers use for best-ckpt selection and
+    early stopping must not compare dropout noise."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+
+    key = jax.random.key(7)
+    l_eval = float(model.loss(params, key, small_batch, deterministic=True))
+    model0 = TorsionalDiffusion.create(NC(dropout=0.0), SampleConfig())
+    l_nodrop = float(model0.loss(params, key, small_batch))
+    assert l_eval == l_nodrop
+    l_train = float(model.loss(params, key, small_batch))
+    assert l_train != l_eval
+
+
 def test_static_edge_cache_is_exact(model, params, small_batch):
     """Forward with precomputed static edges must equal the fused forward."""
     import jax.numpy as jnp
