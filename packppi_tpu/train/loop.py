@@ -197,6 +197,10 @@ def train_diffusion(cfg) -> dict:
 
     key = jax.random.key(cfg.seed)
     key, k_init = jax.random.split(key)
+    # dedicated fixed eval streams, never advanced by training (see the
+    # common-random-numbers note at the validation loop)
+    val_key = jax.random.fold_in(jax.random.key(cfg.seed), 0x5EED)
+    test_key = jax.random.fold_in(jax.random.key(cfg.seed), 0x7E57)
     # first_batch, not next(iter(...)): an abandoned iterator leaks its
     # prefetch worker blocked on the full queue (with stacked batches
     # pinned) for process lifetime
@@ -281,8 +285,14 @@ def train_diffusion(cfg) -> dict:
             # all evaluate the EMA weights (what inference will use)
             eval_params = ema if ema is not None else state.params
             vlosses = []
-            for batch in loaders["val"]:
-                key, k_v = jax.random.split(key)
+            # fixed per-batch eval keys (common random numbers): every
+            # validation pass sees the SAME t/noise draws (the val loader is
+            # unshuffled), so val/loss differences across epochs — what
+            # best-ckpt selection and early stopping compare — are purely
+            # parameter-driven, not sampling noise. Dropout is already off
+            # (deterministic=True); this removes the remaining noise source.
+            for i, batch in enumerate(loaders["val"]):
+                k_v = jax.random.fold_in(val_key, i)
                 vlosses.append(eval_loss(eval_params, k_v, put_batch(batch)))
             val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
             best_val = min(best_val, val_loss) if vlosses else best_val
@@ -291,7 +301,9 @@ def train_diffusion(cfg) -> dict:
             if cfg.sample.sample_during_training and (epoch + 1) % cfg.sample.eval_epochs == 0:
                 batch = next(iter(loaders["val"]), None)
                 if batch is not None:
-                    key, k_s = jax.random.split(key)
+                    # same fixed key every sampling eval: chi metrics are
+                    # comparable epoch-over-epoch
+                    k_s = jax.random.fold_in(val_key, -1)
                     sc = sample_fn(eval_params, k_s, put_batch(batch))
                     m = chi_metrics(batch.SC_D, np.asarray(sc), batch.SC_D_mask,
                                     batch.chi_1pi_periodic_mask)
@@ -326,8 +338,10 @@ def train_diffusion(cfg) -> dict:
         if test_params is None:
             test_params = ema if ema is not None else state.params
         tlosses = []
-        for batch in test_loader:
-            key, k_t = jax.random.split(key)
+        # fixed keys here too: test/loss is reproducible run-to-run at
+        # equal params (stream disjoint from the val keys via fold_in tag)
+        for i, batch in enumerate(test_loader):
+            k_t = jax.random.fold_in(test_key, i)
             tlosses.append(eval_loss(test_params, k_t, put_batch(batch)))
         test_loss = float(jnp.stack(tlosses).mean()) if tlosses else float("nan")
         metrics_log.log(int(state.step), {"test/loss": test_loss})

@@ -197,6 +197,51 @@ def test_train_diffusion_ema_end_to_end(tmp_path):
         max(int(p.name.split("_")[1]) for p in emas)
 
 
+def test_val_loss_uses_fixed_eval_noise(tmp_path):
+    """Common-random-numbers eval: at lr=0 (params frozen) every validation
+    pass must produce a BIT-IDENTICAL val/loss — the fixed per-batch eval
+    keys remove t/noise-draw variance, so best-ckpt selection and early
+    stopping compare parameters, not sampling noise."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from make_crop_corpus import take_residues
+
+    from packppi_tpu.structure import from_pdb_file, to_pdb
+    from packppi_tpu.train.loop import train_diffusion
+
+    prot = from_pdb_file(os.path.join(os.path.dirname(__file__), "fixtures", "1brs.pdb"),
+                         mse_to_met=True)
+    data_dir = tmp_path / "corpus"
+    data_dir.mkdir()
+    for k in range(6):
+        sel = np.arange(k * 13, k * 13 + 48) % len(prot.aaindex)
+        (data_dir / f"crop{k:02d}_rc.pdb").write_text(
+            to_pdb(take_residues(prot, np.sort(sel))))
+
+    cfg = load_config(os.path.join(CONFIG_DIR, "train_diffusion.yaml"), [
+        f"output_dir={tmp_path / 'out'}",
+        f"data.data_dir={data_dir}",
+        "data.split_fractions=[0.7,0.3,0.0]",
+        "data.batch_size=1",
+        "trainer.n_devices=1",
+        "trainer.max_epochs=3",
+        "trainer.val_every_epochs=1",
+        "trainer.lr=0.0",
+        "trainer.ema_decay=0",
+        "sample.sample_during_training=false",
+        "seed=0",
+    ])
+    train_diffusion(cfg)
+
+    records = [json.loads(l) for l in
+               (tmp_path / "out" / "logs" / "metrics.jsonl").read_text().splitlines()]
+    vals = [r["val/loss"] for r in records if "val/loss" in r]
+    assert len(vals) == 3
+    assert vals[0] == vals[1] == vals[2], vals
+
+
 def test_train_affinity_ema_sidecars(tmp_path):
     """trainer.ema_decay>0 in the affinity loop writes _ema sidecars and
     evaluates the EMA weights."""
