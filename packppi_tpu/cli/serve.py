@@ -58,6 +58,9 @@ def build_parser():
     p.add_argument("--warmup", default=None, metavar="PDB",
                    help="pack this structure once at startup so the first "
                         "real request hits a warm executable")
+    p.add_argument("--max_body_mb", type=int, default=16,
+                   help="reject request bodies larger than this (413); a "
+                        "memory-DoS guard for non-localhost --host binds")
     p.add_argument("--tmp_dir", default=None,
                    help="scratch dir for the metric suite (default: <cwd>/packppi_serve_tmp)")
     return p
@@ -421,6 +424,21 @@ def make_handler(sessions: dict, args):
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ServeError(400, "empty request body")
+                if n > args.max_body_mb * 1024 * 1024:
+                    # bound memory before reading: a client-supplied length
+                    # must not size an unbounded read into RAM. Drain (and
+                    # discard) up to a hard cap in small chunks so plain
+                    # clients that write-then-read can still see the 413;
+                    # past the cap the connection is dropped instead.
+                    left = min(n, 64 * 1024 * 1024)
+                    while left > 0:
+                        chunk = self.rfile.read(min(left, 65536))
+                        if not chunk:
+                            break
+                        left -= len(chunk)
+                    self.close_connection = True
+                    raise ServeError(413, f"request body {n} bytes exceeds "
+                                          f"--max_body_mb={args.max_body_mb}")
                 raw = self.rfile.read(n)
                 try:
                     req = json.loads(raw)

@@ -49,6 +49,10 @@ def split_entries(entries: list[str], fractions: Sequence[float] = (0.8, 0.1, 0.
             log.warning(f"split file {split_file}: pruning "
                         f"{len(missing)} persisted code(s) no longer on disk")
             splits = {k: [c for c in v if c in present] for k, v in splits.items()}
+            # persist the reconciliation: otherwise every later run re-walks
+            # and re-warns about the same vanished codes forever (new codes
+            # stay unused either way — only deletion is written back)
+            Path(split_file).write_text(json.dumps(splits))
         new = present - persisted
         if new:
             log.warning(f"split file {split_file}: {len(new)} new code(s) on "

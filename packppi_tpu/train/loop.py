@@ -370,7 +370,11 @@ def esm_batches(entries, batch_size, shuffle, seed, load_item):
     else:
         stops = range(0, len(idx), batch_size)
     for s in stops:
-        items = [load_item(entries[i]) for i in idx[s:s + batch_size]]
+        # load_item returns None for entries whose mutations fail to apply
+        items = [it for it in (load_item(entries[i]) for i in idx[s:s + batch_size])
+                 if it is not None]
+        if not items:
+            continue
         L = max(w.shape[0] for w, _, _ in items)
         wt = np.zeros((len(items), L, ESM_DIM), np.float32)
         mt = np.zeros_like(wt)
@@ -404,7 +408,14 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
                 "local copy of facebook/esm2_t33_650M_UR50D")
         prot = from_pdb_file(e["pdb_path"], mse_to_met=True)
         feats = featurize(prot)
-        rt_mut, _ = apply_mutations(prot, e["mutations"], strict=False)
+        try:
+            # strict: a silent mutation no-match would train wt==mut
+            # embeddings against a nonzero ddG (corrupted data) AND write
+            # the corrupt pair to the cache where later runs never re-check
+            rt_mut, _ = apply_mutations(prot, e["mutations"], strict=True)
+        except ValueError as err:
+            log.warning(f"skipping {e['pdb_id']}/{e['id']}: {err}")
+            return None
         wt = extractor(feats["residue_type"], feats["chain_indices"])
         mut = extractor(rt_mut, feats["chain_indices"])
         wt = wt * feats["residue_mask"][:, None]

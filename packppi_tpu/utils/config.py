@@ -97,6 +97,21 @@ def _resolve_interpolations(node, root):
     return node
 
 
+def _find_unresolved(node, path="") -> list[str]:
+    """Leaf strings still matching the ``${...}`` interpolation syntax after
+    the fixpoint loop converged (only a self/mutual reference can do that)."""
+    out = []
+    if isinstance(node, dict):
+        for k, v in node.items():
+            out += _find_unresolved(v, f"{path}.{k}" if path else str(k))
+    elif isinstance(node, list):
+        for i, v in enumerate(node):
+            out += _find_unresolved(v, f"{path}[{i}]")
+    elif isinstance(node, str) and _INTERP.match(node):
+        out.append(f"{path}={node}")
+    return out
+
+
 def _split_sweep_value(val: str) -> list[str]:
     """Split a Hydra-style choice sweep ``a,b,c`` at top-level commas only
     (commas inside ``[...]``/``{...}`` belong to a single YAML value)."""
@@ -214,4 +229,12 @@ def load_config(path: str, overrides: Optional[list[str]] = None) -> Config:
     else:
         raise ValueError("config interpolation did not converge in 10 passes "
                          "(circular ${...} references?)")
+    # a direct self-reference (a: ${a}) resolves to an IDENTICAL tree in one
+    # pass, so the fixpoint loop exits "converged" with the literal string
+    # still in place — scan leaves and raise instead of shipping '${a}'
+    leftovers = _find_unresolved(merged)
+    if leftovers:
+        raise ValueError("unresolved config interpolation(s): "
+                         + ", ".join(sorted(leftovers))
+                         + " (circular ${...} self-reference?)")
     return Config.wrap(merged)

@@ -301,3 +301,64 @@ def test_train_affinity_saves_backbone_artifact(tmp_path):
         lambda: model.backbone.init(jax.random.key(0), batch.wild()))
     bb = load_model_params(str(out / "backbone"), template)
     assert jax.tree.all(jax.tree.map(lambda a, b: a.shape == b.shape, bb, template))
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE fixes
+
+
+def test_config_self_reference_raises(tmp_path):
+    """a: ${a} converges in one pass (identical tree) — the fixpoint loop
+    must not ship the literal '${a}' string; it raises instead."""
+    from packppi_tpu.utils.config import load_config
+
+    cfg = tmp_path / "selfref.yaml"
+    cfg.write_text("a: ${a}\nb: 1\n")
+    with pytest.raises(ValueError, match="unresolved"):
+        load_config(str(cfg))
+
+
+def test_config_mutual_reference_raises(tmp_path):
+    from packppi_tpu.utils.config import load_config
+
+    cfg = tmp_path / "mutual.yaml"
+    cfg.write_text("a: ${b}\nb: ${a}\n")
+    with pytest.raises(ValueError, match="converge|unresolved"):
+        load_config(str(cfg))
+
+
+def test_split_file_pruning_persists(tmp_path):
+    """Reconciling a stale split against the directory rewrites the file so
+    later runs stop re-warning about the same vanished codes."""
+    from packppi_tpu.data.complex import split_entries
+
+    split_file = tmp_path / "split.json"
+    split_file.write_text(json.dumps(
+        {"train": ["a", "gone"], "val": ["b"], "test": ["c"]}))
+    out = split_entries(["a", "b", "c"], split_file=str(split_file))
+    assert out["train"] == ["a"]
+    on_disk = json.loads(split_file.read_text())
+    assert on_disk == {"train": ["a"], "val": ["b"], "test": ["c"]}
+
+
+def test_esm_batches_skips_none_items():
+    """load_item returning None (mutation failed to apply) drops the entry
+    instead of crashing or training on corrupt wt==mut pairs."""
+    from packppi_tpu.data.esm import ESM_DIM
+    from packppi_tpu.train.loop import esm_batches
+
+    entries = [{"i": i} for i in range(4)]
+
+    def load_item(e):
+        if e["i"] == 2:
+            return None
+        L = 5 + e["i"]
+        return (np.full((L, ESM_DIM), e["i"], np.float32),
+                np.zeros((L, ESM_DIM), np.float32), np.float32(e["i"]))
+
+    batches = list(esm_batches(entries, 2, False, 0, load_item))
+    total = sum(b[0].shape[0] for b in batches)
+    assert total == 3  # entry 2 dropped
+    # an all-None batch is skipped entirely
+    batches = list(esm_batches([{"i": 2}, {"i": 2}], 2, False, 0, load_item))
+    assert batches == []

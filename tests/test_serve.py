@@ -26,7 +26,7 @@ def _serve_args(tmp_path, n_steps=2):
         host="127.0.0.1", port=0, ckpt=None, affinity_ckpt=None,
         pre_ckpt=None, n_steps=n_steps, precision="float32", no_fused=True,
         geometry="global", platform=None, seed=0, molprobity_loc=None,
-        warmup=None, tmp_dir=str(tmp_path / "serve_tmp"))
+        warmup=None, max_body_mb=1, tmp_dir=str(tmp_path / "serve_tmp"))
 
 
 @pytest.fixture(scope="module")
@@ -155,3 +155,9 @@ def test_request_validation(server):
     status, out = _request(server, "POST", "/prox", json.dumps(
         {"pdb": pdb_text, "num_steps": 0}))
     assert status == 400
+
+    # oversized bodies are rejected by Content-Length BEFORE the read —
+    # a client-sized allocation must not reach RAM (--max_body_mb guard)
+    status, out = _request(server, "POST", "/pack",
+                           "x" * (1024 * 1024 + 1))
+    assert status == 413 and "max_body_mb" in out["error"]
