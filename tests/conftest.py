@@ -26,3 +26,39 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 @pytest.fixture(scope="session")
 def golden_chem():
     return dict(np.load(os.path.join(GOLDEN, "chem_golden.npz")))
+
+
+# ---------------------------------------------------------------------------
+# smoke tier: one fast test per subsystem, `pytest -m smoke` (< 90 s on this
+# 1-core host; the full 229-test suite takes >10 min). Curated HERE (one
+# place) rather than scattering markers across files. Multichip sharding is
+# deliberately absent: the driver dry-runs the full multi-chip path
+# (__graft_entry__.dryrun_multichip) separately every round, and every
+# multichip test pays ~45 s of 8-device compile.
+_SMOKE = {
+    "test_chi_tables",                          # chem tables
+    "test_pdb_roundtrip",                       # structure I/O
+    "test_rigid_orthonormal_and_roundtrip",     # rigid geometry
+    "test_mse_to_met",                          # parser edge cases
+    "test_t_to_sigma_endpoints",                # SO(2) schedule
+    "test_add_noise_respects_mask",             # SO(2) noise path
+    "test_per_atom_clash_matches_reference",    # clash loss (golden)
+    "test_forward_shapes",                      # diffusion network forward
+    "test_apply_mutations_valid",               # skempi mutations
+    "test_local_subgraph_mask",                 # affinity subgraph
+    "test_config_compose_and_overrides",        # config system
+    "test_bucketed_loader_same_bucket_batches", # data loader
+    "test_load_model_params_accepts_params_only",  # checkpoints
+    "test_chi_metrics_pi_periodic_folding",     # metrics
+    "test_native_parser_matches_python",        # native C++ parser (all params)
+    "test_bond_lengths",                        # hydrogens/clashscore proxy
+    "test_single_chain_no_pads",                # ESM sequence build
+    "test_pallas_kernel_matches_jnp",           # Pallas clash kernel (interpret)
+    "test_pipeline_validates_divisibility",     # pipeline parallelism glue
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.originalname in _SMOKE or item.name in _SMOKE:
+            item.add_marker(pytest.mark.smoke)
