@@ -31,6 +31,10 @@ def build_parser():
     p.add_argument("--outdir", default="packppi_out")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)
+    p.add_argument("--no_strict_parity", action="store_true",
+                   help="mask padding out of the ddG max-pool (padding-"
+                        "invariant predictions) instead of reproducing the "
+                        "reference's padded pool bit-for-bit")
     return p
 
 
@@ -86,7 +90,8 @@ def run_eval_csv(args) -> dict:
     # bucket grouping permutes entries; this is the yielded dataset order
     order = [i for b in loader.plan() for i in b]
 
-    model = AffinityModel.create(NetworkConfig(), mode=args.mode)
+    model = AffinityModel.create(NetworkConfig(), mode=args.mode,
+                                 strict_parity=not args.no_strict_parity)
     key = jax.random.key(args.seed)
     k_bb, k_net = jax.random.split(key)
     # shape template straight from the dataset: starting (and abandoning) a
@@ -158,7 +163,8 @@ def run(args) -> float:
     feats = skempi_features(prot, mutations)
     batch = stack_affinity_batch([feats])
 
-    model = AffinityModel.create(NetworkConfig(), mode=args.mode)
+    model = AffinityModel.create(NetworkConfig(), mode=args.mode,
+                                 strict_parity=not args.no_strict_parity)
     key = jax.random.key(args.seed)
 
     if args.mode == "esm":

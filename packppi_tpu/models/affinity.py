@@ -32,16 +32,32 @@ from packppi_tpu.models.torsional_diffusion import TorsionalDiffusion
 
 def local_subgraph_mask(X_ca: jnp.ndarray, mut_mask: jnp.ndarray,
                         radius: float = 10.0,
-                        residue_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                        residue_mask: Optional[jnp.ndarray] = None,
+                        max_mutations: int = 32) -> jnp.ndarray:
     """Residues whose CA is within ``radius`` of any mutated residue's CA
     (reference: src/models/AffinityPrediction.py:124-145). ``residue_mask``
     excludes padding rows — their CA sits at the origin, which would
     otherwise join the subgraph whenever a mutated CA lies within
     ``radius`` of (0,0,0), making predictions depend on the padding
-    bucket."""
+    bucket.
+
+    Distances are computed to the (at most ``max_mutations``) gathered
+    mutated CAs only — [B, L, M] instead of the reference's [B, L, L]
+    all-pairs matrix, so the memory stays linear in L for
+    multi-thousand-residue complexes. Identical to the dense formula
+    whenever the batch has <= ``max_mutations`` simultaneous mutations
+    (SKEMPI's deepest entries mutate < 10 positions; tested); beyond the
+    cap the farthest-listed mutations would be dropped, so the cap is a
+    loud contract, not a silent heuristic."""
+    M = min(max_mutations, mut_mask.shape[-1])
+    # indices of (up to M) mutated residues; surplus slots pick mut_mask==0
+    # rows whose distance rows are then nulled by the gathered weight
+    w, midx = jax.lax.top_k(mut_mask.astype(jnp.float32), M)   # [B, M]
+    mut_ca = jnp.take_along_axis(X_ca, midx[..., None], axis=1,
+                                 mode="clip")                  # [B, M, 3]
     d = jnp.sqrt(jnp.sum(
-        (X_ca[:, :, None, :] - X_ca[:, None, :, :]) ** 2, -1) + 1e-12)
-    near = (d < radius) & (mut_mask[:, None, :] > 0)
+        (X_ca[:, :, None, :] - mut_ca[:, None, :, :]) ** 2, -1) + 1e-12)
+    near = (d < radius) & (w[:, None, :] > 0)                  # [B, L, M]
     local = near.any(-1).astype(jnp.float32)
     if residue_mask is not None:
         local = local * residue_mask
@@ -65,10 +81,18 @@ class AffinityNet(nn.Module):
 
     cfg: NetworkConfig = NetworkConfig()
     mode: str = "network"  # network | linear | esm
+    # The reference max-pools (h_mt - h_wt) over ALL rows, padding included
+    # (reference: src/models/AffinityPrediction.py:189-190), so predictions
+    # vary with the padding bucket. strict_parity=True preserves that
+    # behavior bit-for-bit; False masks padding out of the pool (each
+    # channel's max is taken over real residues only), making predictions
+    # padding-invariant. Requires ``pool_mask`` (ignored when parity is on).
+    strict_parity: bool = True
 
     @nn.compact
     def __call__(self, wild: Optional[ProteinBatch], mut: Optional[ProteinBatch],
-                 h_pret_wt, h_pret_mt, mut_mask, deterministic: bool = True):
+                 h_pret_wt, h_pret_mt, mut_mask, deterministic: bool = True,
+                 pool_mask=None):
         c = self.cfg
         if self.mode == "network":
             # message/FFN compute dtype flows into the trainable submodules
@@ -117,8 +141,14 @@ class AffinityNet(nn.Module):
             h_wt, h_mt = h_pret_wt, h_pret_mt
 
         head = DdgHead(h_wt.shape[-1] if self.mode == "esm" else c.hidden_dim)
-        ddg = head(jnp.max(h_mt - h_wt, axis=1)).squeeze(-1)
-        ddg_inv = head(jnp.max(h_wt - h_mt, axis=1)).squeeze(-1)
+        if self.strict_parity or pool_mask is None:
+            pool = lambda d: jnp.max(d, axis=1)
+        else:
+            neg = jnp.asarray(-1e9, h_wt.dtype)
+            valid = (pool_mask > 0)[..., None]
+            pool = lambda d: jnp.max(jnp.where(valid, d, neg), axis=1)
+        ddg = head(pool(h_mt - h_wt)).squeeze(-1)
+        ddg_inv = head(pool(h_wt - h_mt)).squeeze(-1)
         return ddg, ddg_inv
 
 
@@ -131,11 +161,12 @@ class AffinityModel:
     mode: str = "network"
 
     @staticmethod
-    def create(cfg: NetworkConfig = NetworkConfig(), mode: str = "network") -> "AffinityModel":
+    def create(cfg: NetworkConfig = NetworkConfig(), mode: str = "network",
+               strict_parity: bool = True) -> "AffinityModel":
         from packppi_tpu.models.torsional_diffusion import SampleConfig
         return AffinityModel(
             backbone=TorsionalDiffusion.create(cfg, SampleConfig()),
-            net=AffinityNet(cfg, mode),
+            net=AffinityNet(cfg, mode, strict_parity),
             mode=mode,
         )
 
@@ -160,18 +191,25 @@ class AffinityModel:
         h_wt = self._pret(backbone_params, wild)
         h_mt = self._pret(backbone_params, mut)
         return self.net.apply(params, wild, mut, h_wt, h_mt,
-                              jnp.asarray(batch.mut_mask), deterministic, rngs=rngs)
+                              jnp.asarray(batch.mut_mask), deterministic,
+                              wild.residue_mask, rngs=rngs)
 
-    def predict_esm(self, params, esm_wt, esm_mt, deterministic: bool = True):
-        return self.net.apply(params, None, None, esm_wt, esm_mt, None, deterministic)
+    def predict_esm(self, params, esm_wt, esm_mt, deterministic: bool = True,
+                    residue_mask=None):
+        """``residue_mask`` [B, L] marks real rows of the padded embeddings;
+        only consulted when strict_parity is off (masked ddG pooling)."""
+        return self.net.apply(params, None, None, esm_wt, esm_mt, None,
+                              deterministic, residue_mask)
 
-    def loss_esm(self, params, esm_wt, esm_mt, ddg, weights=None):
+    def loss_esm(self, params, esm_wt, esm_mt, ddg, weights=None,
+                 residue_mask=None):
         """Antisymmetric MSE over precomputed ESM embeddings ('esm' mode).
 
         ``weights`` (optional, [B]) turns the batch mean into a weighted
         mean — sharded eval pads ragged batches to the device count with
         zero-weight rows, keeping the metric exact."""
-        pred, pred_inv = self.predict_esm(params, esm_wt, esm_mt)
+        pred, pred_inv = self.predict_esm(params, esm_wt, esm_mt,
+                                          residue_mask=residue_mask)
         y = jnp.asarray(ddg)
         if weights is None:
             return 0.5 * (jnp.mean((pred - y) ** 2) + jnp.mean((pred_inv + y) ** 2))

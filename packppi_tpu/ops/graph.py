@@ -12,26 +12,65 @@ import jax
 import jax.numpy as jnp
 
 
-def masked_knn(coords: jnp.ndarray, mask: jnp.ndarray, k: int, eps: float = 1e-6):
+# above this many residues masked_knn switches to the row-blocked path
+# (peak memory O(block * L) instead of the dense [B, L, L] matrix)
+KNN_DENSE_MAX_L = 2048
+
+
+def _knn_rows(coords_rows, mask_rows, coords, mask, k, eps):
+    """kNN for a slab of query rows against all L columns. The D_max
+    push-beyond adjustment is per query ROW, so slab results are exactly
+    the dense results for those rows."""
+    mask2d = mask_rows[..., :, None] * mask[..., None, :]
+    diff = coords_rows[..., :, None, :] - coords[..., None, :, :]
+    D = mask2d * jnp.sqrt(jnp.sum(diff * diff, -1) + eps)
+    D_max = jnp.max(D, -1, keepdims=True)
+    D_adjusted = D + 2.0 * (1.0 - mask2d) * D_max
+    neg_d, idx = jax.lax.top_k(-D_adjusted, k)
+    return -neg_d, idx.astype(jnp.int32)
+
+
+def masked_knn(coords: jnp.ndarray, mask: jnp.ndarray, k: int, eps: float = 1e-6,
+               block: int | None = None):
     """k nearest neighbors (self included) under a validity mask.
 
     Args:
         coords: [B, L, 3] CA positions.
         mask: [B, L] 1.0 for real residues.
         k: neighbor count (clamped to L).
+        block: query-row block size. None auto-selects: dense up to
+            ``KNN_DENSE_MAX_L`` residues, 512-row blocks beyond (peak
+            memory O(B * block * L), so multi-thousand-residue complexes
+            never materialize the [B, L, L] distance matrix the reference
+            builds; reference: src/models/components/encoder.py:105-118).
+            Values are IDENTICAL to the dense path (tested).
 
     Returns:
         (D_neighbors [B, L, K], idx [B, L, K] int32) — invalid pairs are
         pushed beyond the max distance so they sort last.
     """
-    k = min(k, coords.shape[-2])
-    mask2d = mask[..., :, None] * mask[..., None, :]
-    diff = coords[..., :, None, :] - coords[..., None, :, :]
-    D = mask2d * jnp.sqrt(jnp.sum(diff * diff, -1) + eps)
-    D_max = jnp.max(D, -1, keepdims=True)
-    D_adjusted = D + 2.0 * (1.0 - mask2d) * D_max
-    neg_d, idx = jax.lax.top_k(-D_adjusted, k)
-    return -neg_d, idx.astype(jnp.int32)
+    L = coords.shape[-2]
+    k = min(k, L)
+    if block is None and L > KNN_DENSE_MAX_L:
+        block = 512
+    if block is None or block >= L:
+        return _knn_rows(coords, mask, coords, mask, k, eps)
+
+    nblk = -(-L // block)
+    pad = nblk * block - L
+    coords_p = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)))
+    mask_p = jnp.pad(mask, ((0, 0), (0, pad)))
+
+    def row_block(i):
+        cr = jax.lax.dynamic_slice_in_dim(coords_p, i * block, block, axis=1)
+        mr = jax.lax.dynamic_slice_in_dim(mask_p, i * block, block, axis=1)
+        return _knn_rows(cr, mr, coords, mask, k, eps)
+
+    D_blk, idx_blk = jax.lax.map(row_block, jnp.arange(nblk))
+    # [nblk, B, block, K] -> [B, nblk*block, K] -> trim row padding
+    D = jnp.moveaxis(D_blk, 0, 1).reshape(coords.shape[0], nblk * block, k)
+    idx = jnp.moveaxis(idx_blk, 0, 1).reshape(coords.shape[0], nblk * block, k)
+    return D[:, :L], idx[:, :L]
 
 
 def gather_nodes(nodes: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -155,7 +155,8 @@ def train_diffusion(cfg) -> dict:
     _setup_runtime(cfg.trainer)
     out = Path(cfg.output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    metrics_log = MetricLogger(out / "logs")
+    metrics_log = MetricLogger(out / "logs", backends=cfg.get("logger") or ("tensorboard",),
+                               run_config=cfg.to_dict())
     (out / "config.json").write_text(json.dumps(cfg.to_dict(), indent=1, default=str))
 
     # ---- data ---------------------------------------------------------------
@@ -376,7 +377,11 @@ def esm_batches(entries, batch_size, shuffle, seed, load_item):
         if not items:
             continue
         L = max(w.shape[0] for w, _, _ in items)
-        wt = np.zeros((len(items), L, ESM_DIM), np.float32)
+        # width follows the cached embeddings (1280 for real ESM-2 650M;
+        # smaller stand-ins — e.g. scripts/repro_esm2_cv.py --random_esm —
+        # train the same head at their own width)
+        dim = items[0][0].shape[-1] if items[0][0].ndim == 2 else ESM_DIM
+        wt = np.zeros((len(items), L, dim), np.float32)
         mt = np.zeros_like(wt)
         ddg = np.zeros(len(items), np.float32)
         for k, (w, m, d) in enumerate(items):
@@ -426,7 +431,13 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
     def make_batches(entries, batch_size, shuffle, seed):
         yield from esm_batches(entries, batch_size, shuffle, seed, load_item)
 
-    model = AffinityModel.create(NetworkConfig(), mode="esm")
+    strict_parity = bool(cfg.model.get("strict_parity", True))
+    model = AffinityModel.create(NetworkConfig(), mode="esm",
+                                 strict_parity=strict_parity)
+    # rows of real residues: embeddings are extracted then zeroed at padding
+    # (wt * residue_mask above), so a nonzero row norm marks a real residue
+    _pool_mask = ((lambda wt: (jnp.abs(wt).sum(-1) > 0).astype(jnp.float32))
+                  if not strict_parity else (lambda wt: None))
     key = jax.random.key(cfg.seed)
     wt0, mt0, _ = next(make_batches(splits["train"], 1, False, 0))
     params = model.net.init(key, None, None, wt0, mt0, None)
@@ -440,12 +451,14 @@ def _train_affinity_esm(cfg, splits, cache_dir, out, metrics_log) -> dict:
     ema_decay, ema, ema_step = init_ema(cfg, params, resume)
 
     def _train_step(params, opt_state, wt, mt, ddg):
-        loss, grads = jax.value_and_grad(model.loss_esm)(params, wt, mt, ddg)
+        loss, grads = jax.value_and_grad(model.loss_esm)(
+            params, wt, mt, ddg, residue_mask=_pool_mask(wt))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     def _eval_loss(params, wt, mt, ddg, w):
-        return model.loss_esm(params, wt, mt, ddg, weights=w)
+        return model.loss_esm(params, wt, mt, ddg, weights=w,
+                              residue_mask=_pool_mask(wt))
 
     n_devices = cfg.trainer.get("n_devices") or jax.device_count()
     mp = int(cfg.trainer.get("model_parallel", 1) or 1)
@@ -546,7 +559,8 @@ def train_affinity(cfg) -> dict:
     _setup_runtime(cfg.trainer)
     out = Path(cfg.output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    metrics_log = MetricLogger(out / "logs")
+    metrics_log = MetricLogger(out / "logs", backends=cfg.get("logger") or ("tensorboard",),
+                               run_config=cfg.to_dict())
 
     entries = load_skempi_entries(cfg.data.data_dir, cfg.data.pdb_dirname,
                                   cfg.data.meta_filename, list(cfg.data.block_list))
@@ -593,7 +607,8 @@ def train_affinity(cfg) -> dict:
 
     net_cfg = NetworkConfig(**{k: cfg.model[k] for k in NetworkConfig.__dataclass_fields__
                                if k in cfg.model})
-    model = AffinityModel.create(net_cfg, mode=cfg.model.mode)
+    model = AffinityModel.create(net_cfg, mode=cfg.model.mode,
+                                 strict_parity=cfg.model.get("strict_parity", True))
 
     key = jax.random.key(cfg.seed)
     key, kb, kn = jax.random.split(key, 3)

@@ -222,3 +222,89 @@ def test_local_subgraph_mask_excludes_padding():
     m = np.asarray(local_subgraph_mask(X_ca, mut, residue_mask=rm))
     assert m[0, 0] == 1 and m[0, 1] == 1
     assert (m[0, 2:] == 0).all(), "padding rows leaked into the subgraph"
+
+
+def test_strict_parity_knob_padding_invariance(brs):
+    """strict_parity=False makes predictions identical across padding
+    buckets; strict_parity=True (default) keeps the reference's padded
+    max-pool exactly (VERDICT r3 #6; reference bug site:
+    src/models/AffinityPrediction.py:189-190)."""
+    feats = skempi_features(brs, [parse_mutation("KA25A")], ddg=1.0)
+    L = len(feats["residue_type"])
+    kb, kn = jax.random.split(jax.random.key(0))
+
+    def predict(strict, target_len):
+        batch = stack_affinity_batch(
+            [skempi_features(brs, [parse_mutation("KA25A")], ddg=1.0)],
+            target_len=target_len)
+        model = AffinityModel.create(NetworkConfig(), mode="network",
+                                     strict_parity=strict)
+        backbone_params = model.backbone.init(kb, batch.wild())
+        params = model.init(kn, batch, backbone_params)
+        ddg, _ = model.predict(params, backbone_params, batch)
+        return float(ddg[0])
+
+    # the fixed version is invariant to the padding bucket
+    a = predict(False, L)
+    b = predict(False, L + 128)
+    assert np.isfinite(a)
+    np.testing.assert_allclose(a, b, rtol=1e-4)
+
+    # the parity version matches the old (unmasked) pool at the same bucket:
+    # with zero padding rows, the only way parity and fixed disagree is the
+    # padding rows entering the pool — at target_len == L there are none,
+    # except 1brs pads slightly; assert the knob defaults to parity and the
+    # two modes agree when no padding exists
+    feats2 = skempi_features(brs, [parse_mutation("KA25A")], ddg=1.0)
+    batch_exact = stack_affinity_batch([feats2], target_len=L)
+    assert int(np.asarray(batch_exact.residue_mask).sum()) == L
+    m_par = AffinityModel.create(NetworkConfig(), mode="network",
+                                 strict_parity=True)
+    m_fix = AffinityModel.create(NetworkConfig(), mode="network",
+                                 strict_parity=False)
+    bp = m_par.backbone.init(kb, batch_exact.wild())
+    pp = m_par.init(kn, batch_exact, bp)
+    d_par, _ = m_par.predict(pp, bp, batch_exact)
+    d_fix, _ = m_fix.predict(pp, bp, batch_exact)
+    np.testing.assert_allclose(float(d_par[0]), float(d_fix[0]), rtol=1e-5)
+
+
+def test_strict_parity_esm_mode_masked_pool():
+    """esm mode: masked pool is invariant to zero-padded embedding rows."""
+    rng = np.random.default_rng(0)
+    wt = rng.normal(size=(1, 16, 64)).astype(np.float32)
+    mt = wt + rng.normal(scale=0.1, size=wt.shape).astype(np.float32)
+    model = AffinityModel.create(NetworkConfig(), mode="esm",
+                                 strict_parity=False)
+    params = model.net.init(jax.random.key(0), None, None,
+                            jnp.asarray(wt), jnp.asarray(mt), None)
+    mask16 = jnp.ones((1, 16))
+    d0, _ = model.predict_esm(params, jnp.asarray(wt), jnp.asarray(mt),
+                              residue_mask=mask16)
+    pad = lambda x: np.concatenate([x, np.zeros((1, 48, 64), np.float32)], axis=1)
+    mask64 = jnp.concatenate([mask16, jnp.zeros((1, 48))], axis=1)
+    d1, _ = model.predict_esm(params, jnp.asarray(pad(wt)), jnp.asarray(pad(mt)),
+                              residue_mask=mask64)
+    np.testing.assert_allclose(float(d0[0]), float(d1[0]), rtol=1e-5)
+
+
+def test_local_subgraph_mask_matches_dense_formula():
+    """The M-gather subgraph mask equals the dense [L, L] formula for any
+    mutation count <= max_mutations (here up to 6 of 200 residues)."""
+    rng = np.random.default_rng(1)
+    B, L = 3, 200
+    X_ca = jnp.asarray(rng.normal(0, 15, (B, L, 3)).astype(np.float32))
+    mut = np.zeros((B, L), np.float32)
+    for b in range(B):
+        mut[b, rng.choice(L, size=rng.integers(1, 7), replace=False)] = 1.0
+    rm = jnp.asarray((rng.uniform(size=(B, L)) > 0.05).astype(np.float32))
+
+    def dense(X, m, radius=10.0, residue_mask=None):
+        d = jnp.sqrt(jnp.sum((X[:, :, None, :] - X[:, None, :, :]) ** 2, -1) + 1e-12)
+        near = (d < radius) & (m[:, None, :] > 0)
+        out = near.any(-1).astype(jnp.float32)
+        return out * residue_mask if residue_mask is not None else out
+
+    got = local_subgraph_mask(X_ca, jnp.asarray(mut), residue_mask=rm)
+    want = dense(X_ca, jnp.asarray(mut), residue_mask=rm)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -590,3 +590,28 @@ def test_configure_platform_keeps_cpu_backend(monkeypatch):
     recorded.clear()
     configure_platform("tpu,cpu")
     assert recorded["jax_platforms"] == "tpu,cpu"
+
+
+def test_metric_logger_wandb_backend(tmp_path):
+    """The wandb backend writes wandb-history-schema JSONL rows (with the
+    real wandb package absent) alongside the always-on metrics.jsonl."""
+    import json as _json
+
+    from packppi_tpu.utils.logging import MetricLogger
+
+    ml = MetricLogger(tmp_path / "logs", backends=("wandb",),
+                      run_config={"seed": 1})
+    ml.log(0, {"loss": 2.0}, prefix="train/")
+    ml.log(5, {"loss": 1.0}, prefix="train/")
+    ml.close()
+
+    hist = tmp_path / "logs" / "wandb" / "history.jsonl"
+    assert hist.exists()
+    rows = [_json.loads(l) for l in hist.read_text().splitlines()]
+    assert rows[0]["_step"] == 0 and rows[0]["train/loss"] == 2.0
+    assert rows[1]["_step"] == 5 and "_runtime" in rows[1]
+    meta = _json.loads((tmp_path / "logs" / "wandb" / "wandb-metadata.json").read_text())
+    assert meta["config"]["seed"] == 1
+    # metrics.jsonl unchanged by backend selection
+    base = [_json.loads(l) for l in (tmp_path / "logs" / "metrics.jsonl").read_text().splitlines()]
+    assert base[0]["train/loss"] == 2.0

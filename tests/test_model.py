@@ -461,3 +461,21 @@ def test_sampler_local_geometry_parity(small_batch):
     local = np.abs(sbl - s32)[mask].mean()
     assert local < floor * 1.5, f"bf16-local {local} vs bf16 floor {floor}"
     assert np.isfinite(sbl).all()
+
+
+def test_masked_knn_blocked_matches_dense():
+    """Row-blocked kNN (the >2048-residue memory path) is bit-identical to
+    the dense [L, L] path, including masked/padded rows."""
+    import numpy as np
+
+    from packppi_tpu.ops.graph import masked_knn
+
+    rng = np.random.default_rng(0)
+    B, L, k = 2, 300, 24
+    coords = jnp.asarray(rng.normal(0, 10, (B, L, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(B, L)) > 0.1).astype(np.float32))
+
+    D_d, idx_d = masked_knn(coords, mask, k)                    # dense
+    D_b, idx_b = masked_knn(coords, mask, k, block=128)         # blocked+pad
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_d))
+    np.testing.assert_allclose(np.asarray(D_b), np.asarray(D_d), rtol=1e-6)
