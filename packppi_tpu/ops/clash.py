@@ -154,26 +154,49 @@ def _bounds_cached(clash_overlap_tolerance: float, violation_tolerance_factor: f
     return b["lower_bound"], b["upper_bound"]
 
 
+def resolve_clash_backend(backend: str) -> str:
+    """'auto' -> the Pallas pair kernels on TPU, the lax.scan path anywhere
+    else (CPU Pallas would need interpret mode — correct but slow)."""
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+    return backend
+
+
 def sc_violation_loss(positions, atom_exists, residue_type, residue_index,
                       violation_tolerance_factor: float = 12.0,
                       clash_overlap_tolerance: float = 0.5,
-                      block: int = 128):
+                      block: int = 128, backend: str = "scan"):
     """Combined per-atom clash loss [B, L, 14] (between + within residues).
-    (reference: src/models/components/clash.py:257-332)"""
+    (reference: src/models/components/clash.py:257-332)
+
+    backend: 'scan' (row-blocked lax.scan, differentiable, any platform),
+    'pallas' (tiled TPU pair kernels, differentiable via custom VJP),
+    'pallas_interpret' (tests), or 'auto'.
+    """
     radius = jnp.asarray(CHEM.vdw_radius_atom14)[residue_type] * atom_exists
-    between = between_residue_clash(positions, atom_exists, radius, residue_index,
-                                    tol_soft=clash_overlap_tolerance, block=block)
+    backend = resolve_clash_backend(backend)
+    if backend in ("pallas", "pallas_interpret"):
+        from packppi_tpu.ops.pallas_clash import between_residue_clash_diff
+        between_sum = between_residue_clash_diff(
+            positions, atom_exists, radius, residue_index,
+            tol_soft=clash_overlap_tolerance,
+            interpret=(backend == "pallas_interpret"))
+    else:
+        between_sum = between_residue_clash(
+            positions, atom_exists, radius, residue_index,
+            tol_soft=clash_overlap_tolerance, block=block)["per_atom_loss_sum"]
     lower_t, upper_t = _bounds_cached(clash_overlap_tolerance, violation_tolerance_factor)
     lower = jnp.asarray(lower_t)[residue_type]
     upper = jnp.asarray(upper_t)[residue_type]
     within = within_residue_violations(positions, atom_exists, lower, upper)
-    return between["per_atom_loss_sum"] + within
+    return between_sum + within
 
 
 def compute_residue_clash(batch, SC_D,
                           violation_tolerance_factor: float = 12.0,
                           clash_overlap_tolerance: float = 0.5,
-                          block: int = 128, eps: float = 1e-10):
+                          block: int = 128, eps: float = 1e-10,
+                          backend: str = "scan"):
     """Per-residue clash scalar [B, L]: side-chain atoms only, normalized by
     side-chain atom count (reference: src/models/components/clash.py:335-365).
     Differentiable in SC_D through the torsion->coordinate chain.
@@ -185,6 +208,7 @@ def compute_residue_clash(batch, SC_D,
     per_atom = sc_violation_loss(coords, batch.atom_mask, batch.residue_type,
                                  batch.residue_index,
                                  violation_tolerance_factor,
-                                 clash_overlap_tolerance, block=block)
+                                 clash_overlap_tolerance, block=block,
+                                 backend=backend)
     per_atom = per_atom.at[..., :4].set(0.0)
     return per_atom.sum(-1) / (eps + per_residue_atoms)

@@ -17,9 +17,20 @@ Exemption semantics match ops.clash._pair_block_loss exactly (tested
 against it): upper-triangle by residue index, backbone-backbone pairs
 skipped, C(i)-N(i+1) peptide bonds skipped, global SG-slot pairs skipped.
 
-Forward-only: evaluation paths (clash screening, approximate clashscore,
-proximal residue selection) use this kernel; the differentiable training
-path keeps the rematerialized scan.
+Differentiable via ``between_residue_clash_diff`` (custom VJP): the
+backward is a second pairwise tile kernel that recomputes distances from
+the saved positions (remat — nothing O(A^2) is ever stored) and
+accumulates per-atom coordinate gradients. For output cotangent ``w``
+([L, 14] per-atom weights), each unordered pair (a, b) feeds both
+endpoints' row/col sums, so
+
+    dL/dx_a = sum_b -(w_a + w_b) * S_ab * 1{r_a + r_b - tol > d} * (x_a - x_b)/d_ab
+
+with S the SYMMETRIC pair mask (the forward's upper-triangle mask plus its
+transpose). Each tile accumulates gradients for its ROW atoms only; the
+transposed tile covers the column endpoints. ``sampling/proximal`` runs
+this kernel on TPU (backend="auto") — the lax.scan path remains the CPU /
+fallback and the parity oracle.
 """
 from __future__ import annotations
 
@@ -38,6 +49,23 @@ _N_SLOT = 0.0
 _SG_SLOT = 5.0
 
 
+def _tile_live(mr, mc):
+    """Any pair in this tile can pass the upper-triangle mask?
+
+    The survivor mask needs ridx_r < ridx_c with both atoms existing, so a
+    tile is dead whenever min(existing ridx_r) >= max(existing ridx_c) —
+    with residues laid out in index order (featurize's chain-offset
+    numbering is non-decreasing along L) every tile strictly below the
+    diagonal is dead, and the O(blk^2) work is predicated away at runtime.
+    Data-dependent, so files with unsorted residues stay CORRECT (tiles are
+    only skipped when provably all-masked), they just skip less."""
+    ex_r, ridx_r = mr[0], mr[2]
+    ex_c, ridx_c = mc[0], mc[2]
+    min_r = jnp.min(jnp.where(ex_r > 0, ridx_r, jnp.inf))
+    max_c = jnp.max(jnp.where(ex_c > 0, ridx_c, -jnp.inf))
+    return min_r < max_c
+
+
 def _clash_kernel(pos_ref, meta_ref, out_row_ref, out_col_ref, col_acc, *,
                   tol_soft: float, blk: int):
     """Grid (rows, cols). pos [3, A]: x, y, z. meta [4, A]: exists,
@@ -49,56 +77,55 @@ def _clash_kernel(pos_ref, meta_ref, out_row_ref, out_col_ref, col_acc, *,
 
     rows = pl.ds(r * blk, blk)
     cols = pl.ds(c * blk, blk)
-    pr = pos_ref[:, rows]                  # [3, blk]
-    pc = pos_ref[:, cols]
     mr = meta_ref[:, rows]
     mc = meta_ref[:, cols]
-
-    # Squared distances on the VPU via broadcast diffs. (A Gram-matrix MXU
-    # formulation was tried and rejected: with O(100 A) coordinates the
-    # default bf16 MXU passes leave Angstrom-scale error, and the exact
-    # HIGHEST-precision path costs 6 passes on a K=3 contraction — slower
-    # than three fused VPU squared-diffs.)
-    d2 = ((pr[0].reshape(blk, 1) - pc[0].reshape(1, blk)) ** 2
-          + (pr[1].reshape(blk, 1) - pc[1].reshape(1, blk)) ** 2
-          + (pr[2].reshape(blk, 1) - pc[2].reshape(1, blk)) ** 2)
-    d = jnp.sqrt(d2 + 1e-10)
-
-    ex_r, rad_r, ridx_r, slot_r = (mr[k].reshape(blk, 1) for k in range(4))
-    ex_c, rad_c, ridx_c, slot_c = (mc[k].reshape(1, blk) for k in range(4))
-
-    mask = ex_r * ex_c * (ridx_r < ridx_c)
-    mask = mask * (1.0 - (slot_r < _BB_SLOTS) * (slot_c < _BB_SLOTS))
-    mask = mask * (1.0 - (ridx_c == ridx_r + 1.0)
-                   * (slot_r == _C_SLOT) * (slot_c == _N_SLOT))
-    mask = mask * (1.0 - (slot_r == _SG_SLOT) * (slot_c == _SG_SLOT))
-
-    err = mask * jax.nn.relu(rad_r + rad_c - tol_soft - d)
 
     # row sums accumulate across the inner (column) grid dimension
     @pl.when(c == 0)
     def _():
         out_row_ref[...] = jnp.zeros_like(out_row_ref)
 
-    out_row_ref[0, :] += err.sum(axis=1)
-
     # column sums accumulate in persistent VMEM scratch, emitted at the end
     @pl.when((r == 0) & (c == 0))
     def _():
         col_acc[...] = jnp.zeros_like(col_acc)
 
-    col_acc[0, cols] += err.sum(axis=0)
+    @pl.when(_tile_live(mr, mc))
+    def _():
+        pr = pos_ref[:, rows]                  # [3, blk]
+        pc = pos_ref[:, cols]
+
+        # Squared distances on the VPU via broadcast diffs. (A Gram-matrix
+        # MXU formulation was tried and rejected: with O(100 A) coordinates
+        # the default bf16 MXU passes leave Angstrom-scale error, and the
+        # exact HIGHEST-precision path costs 6 passes on a K=3 contraction —
+        # slower than three fused VPU squared-diffs.)
+        d2 = ((pr[0].reshape(blk, 1) - pc[0].reshape(1, blk)) ** 2
+              + (pr[1].reshape(blk, 1) - pc[1].reshape(1, blk)) ** 2
+              + (pr[2].reshape(blk, 1) - pc[2].reshape(1, blk)) ** 2)
+        d = jnp.sqrt(d2 + 1e-10)
+
+        ex_r, rad_r, ridx_r, slot_r = (mr[k].reshape(blk, 1) for k in range(4))
+        ex_c, rad_c, ridx_c, slot_c = (mc[k].reshape(1, blk) for k in range(4))
+
+        mask = ex_r * ex_c * (ridx_r < ridx_c)
+        mask = mask * (1.0 - (slot_r < _BB_SLOTS) * (slot_c < _BB_SLOTS))
+        mask = mask * (1.0 - (ridx_c == ridx_r + 1.0)
+                       * (slot_r == _C_SLOT) * (slot_c == _N_SLOT))
+        mask = mask * (1.0 - (slot_r == _SG_SLOT) * (slot_c == _SG_SLOT))
+
+        err = mask * jax.nn.relu(rad_r + rad_c - tol_soft - d)
+
+        out_row_ref[0, :] += err.sum(axis=1)
+        col_acc[0, cols] += err.sum(axis=0)
 
     @pl.when((r == nr - 1) & (c == nc - 1))
     def _():
         out_col_ref[...] = col_acc[...]
 
 
-@functools.partial(jax.jit, static_argnames=("tol_soft", "blk", "interpret"))
-def _clash_pallas_single(positions, atom_exists, atom_radius, residue_index,
-                         tol_soft: float = 0.5, blk: int = 1024,
-                         interpret: bool = False):
-    """Unbatched [L, 14, ...] inputs -> per-atom clash loss [L, 14]."""
+def _pack_atoms(positions, atom_exists, atom_radius, residue_index, blk):
+    """Flatten [L, 14, ...] atom attributes to lane-major [attr, A_pad]."""
     L = positions.shape[0]
     A = L * 14
     A_pad = -(-A // blk) * blk
@@ -118,7 +145,17 @@ def _clash_pallas_single(positions, atom_exists, atom_radius, residue_index,
     # padding atoms: exists=0 and a residue index that never precedes anyone
     meta = jnp.pad(meta, ((0, 0), (0, A_pad - A)))
     meta = meta.at[2, A:].set(-1e9)
+    return pos3, meta, A, A_pad
 
+
+@functools.partial(jax.jit, static_argnames=("tol_soft", "blk", "interpret"))
+def _clash_pallas_single(positions, atom_exists, atom_radius, residue_index,
+                         tol_soft: float = 0.5, blk: int = 1024,
+                         interpret: bool = False):
+    """Unbatched [L, 14, ...] inputs -> per-atom clash loss [L, 14]."""
+    L = positions.shape[0]
+    pos3, meta, A, A_pad = _pack_atoms(positions, atom_exists, atom_radius,
+                                       residue_index, blk)
     nblk = A_pad // blk
     out_row, out_col = pl.pallas_call(
         functools.partial(_clash_kernel, tol_soft=tol_soft, blk=blk),
@@ -149,6 +186,168 @@ def between_residue_clash_pallas(positions, atom_exists, atom_radius,
     fn = functools.partial(_clash_pallas_single, tol_soft=tol_soft, blk=blk,
                            interpret=interpret)
     return jax.vmap(fn)(positions, atom_exists, atom_radius, residue_index)
+
+
+def _clash_grad_kernel(pos_ref, meta_ref, w_ref, drow_ref, dcol_ref, col_acc,
+                       *, tol_soft: float, blk: int):
+    """Backward tile: per-atom coordinate gradients, upper-triangle pairs.
+
+    w [1, A]: output cotangent per atom (dL/d per_atom_loss_sum). Each
+    surviving pair (a=row, b=col) is visited ONCE with the forward's exact
+    mask; its err cotangent is (w_a + w_b) because err_ab feeds both
+    per_atom[a] (row sum) and per_atom[b] (col sum). The row endpoint's
+    gradient accumulates into the r-blocked output, the col endpoint's
+    (equal and opposite) into persistent VMEM scratch — the same dual
+    row/col accumulation layout as the forward, at half the pair work of a
+    symmetric-closure backward.
+    """
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    nr = pl.num_programs(0)
+    nc = pl.num_programs(1)
+
+    rows = pl.ds(r * blk, blk)
+    cols = pl.ds(c * blk, blk)
+    mr = meta_ref[:, rows]
+    mc = meta_ref[:, cols]
+
+    @pl.when(c == 0)
+    def _():
+        drow_ref[...] = jnp.zeros_like(drow_ref)
+
+    @pl.when((r == 0) & (c == 0))
+    def _():
+        col_acc[...] = jnp.zeros_like(col_acc)
+
+    @pl.when(_tile_live(mr, mc))
+    def _():
+        pr = pos_ref[:, rows]                  # [3, blk]
+        pc = pos_ref[:, cols]
+        wr = w_ref[0, rows].reshape(blk, 1)
+        wc = w_ref[0, cols].reshape(1, blk)
+
+        dx = pr[0].reshape(blk, 1) - pc[0].reshape(1, blk)
+        dy = pr[1].reshape(blk, 1) - pc[1].reshape(1, blk)
+        dz = pr[2].reshape(blk, 1) - pc[2].reshape(1, blk)
+        # same eps-inside-sqrt as the forward: VJP of d = sqrt(d2 + eps)
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-10)
+
+        ex_r, rad_r, ridx_r, slot_r = (mr[k].reshape(blk, 1) for k in range(4))
+        ex_c, rad_c, ridx_c, slot_c = (mc[k].reshape(1, blk) for k in range(4))
+
+        mask = ex_r * ex_c * (ridx_r < ridx_c)
+        mask = mask * (1.0 - (slot_r < _BB_SLOTS) * (slot_c < _BB_SLOTS))
+        mask = mask * (1.0 - (ridx_c == ridx_r + 1.0)
+                       * (slot_r == _C_SLOT) * (slot_c == _N_SLOT))
+        mask = mask * (1.0 - (slot_r == _SG_SLOT) * (slot_c == _SG_SLOT))
+
+        active = (rad_r + rad_c - tol_soft - d > 0.0).astype(jnp.float32)
+        # d err/d x_a = -mask*active*(x_a - x_b)/d, cotangent (w_a + w_b)
+        coef = (wr + wc) * mask * active * (-1.0 / d)   # [blk, blk]
+
+        gx = coef * dx
+        gy = coef * dy
+        gz = coef * dz
+        drow_ref[0, :] += gx.sum(axis=1)
+        drow_ref[1, :] += gy.sum(axis=1)
+        drow_ref[2, :] += gz.sum(axis=1)
+        # col endpoint: d err/d x_b = +mask*active*(x_a - x_b)/d
+        col_acc[0, cols] += -gx.sum(axis=0)
+        col_acc[1, cols] += -gy.sum(axis=0)
+        col_acc[2, cols] += -gz.sum(axis=0)
+
+    @pl.when((r == nr - 1) & (c == nc - 1))
+    def _():
+        dcol_ref[...] = col_acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("tol_soft", "blk", "interpret"))
+def _clash_grad_single(positions, atom_exists, atom_radius, residue_index, w,
+                       tol_soft: float = 0.5, blk: int = 512,
+                       interpret: bool = False):
+    """d(sum(w * per_atom_loss))/d positions, unbatched. Returns [L, 14, 3]."""
+    L = positions.shape[0]
+    pos3, meta, A, A_pad = _pack_atoms(positions, atom_exists, atom_radius,
+                                       residue_index, blk)
+    w_pad = jnp.pad(w.reshape(A).astype(jnp.float32), (0, A_pad - A))[None]
+    nblk = A_pad // blk
+
+    drow, dcol = pl.pallas_call(
+        functools.partial(_clash_grad_kernel, tol_soft=tol_soft, blk=blk),
+        grid=(nblk, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, blk), lambda r, c: (0, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, A_pad), lambda r, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, A_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, A_pad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((3, A_pad), jnp.float32)],
+        interpret=interpret,
+    )(pos3, meta, w_pad)
+
+    dpos = drow + dcol
+    return dpos[:, :A].T.reshape(L, 14, 3).astype(positions.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _clash_diff_single(positions, atom_exists, atom_radius, residue_index,
+                       tol_soft, blk, interpret):
+    return _clash_pallas_single(positions, atom_exists, atom_radius,
+                                residue_index, tol_soft=tol_soft, blk=blk,
+                                interpret=interpret)
+
+
+def _clash_diff_fwd(positions, atom_exists, atom_radius, residue_index,
+                    tol_soft, blk, interpret):
+    out = _clash_pallas_single(positions, atom_exists, atom_radius,
+                               residue_index, tol_soft=tol_soft, blk=blk,
+                               interpret=interpret)
+    # remat: residuals are the O(A) inputs, never the O(A^2) pair tensors
+    return out, (positions, atom_exists, atom_radius, residue_index)
+
+
+def _clash_diff_bwd(tol_soft, blk, interpret, res, g):
+    positions, atom_exists, atom_radius, residue_index = res
+    # backward tiles hold ~6 live [blk, blk] f32 intermediates; blk=1024
+    # exceeds the 16 MB scoped-VMEM stack (measured OOM at 18.05 MB), so
+    # the backward runs at 512 regardless of the forward tile size
+    dpos = _clash_grad_single(positions, atom_exists, atom_radius,
+                              residue_index, g, tol_soft=tol_soft,
+                              blk=min(blk, 512), interpret=interpret)
+    # exists/radius/residue_index are chemistry constants along the only
+    # differentiable path (torsions -> coordinates); callers pass them f32
+    return (dpos, jnp.zeros_like(atom_exists), jnp.zeros_like(atom_radius),
+            jnp.zeros_like(residue_index))
+
+
+_clash_diff_single.defvjp(_clash_diff_fwd, _clash_diff_bwd)
+
+
+def between_residue_clash_diff(positions, atom_exists, atom_radius,
+                               residue_index, tol_soft: float = 0.5,
+                               blk: int = 1024, interpret: bool = False):
+    """Batched DIFFERENTIABLE per-atom between-residue clash loss [B, L, 14].
+
+    Gradients flow to ``positions`` only (exists/radius/index receive
+    zeros — they are not functions of the torsions being optimized).
+    Gradient parity vs the lax.scan path is locked by
+    tests/test_pallas_clash.py.
+    """
+    fn = functools.partial(_clash_diff_single, tol_soft=tol_soft, blk=blk,
+                           interpret=interpret)
+    return jax.vmap(lambda p, e, r, i: fn(p, e, r, i))(
+        positions, atom_exists.astype(positions.dtype),
+        atom_radius.astype(positions.dtype),
+        residue_index.astype(positions.dtype))
 
 
 def sc_clash_screen(coords, atom_mask, residue_type, residue_index,

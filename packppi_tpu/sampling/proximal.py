@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from packppi_tpu.data.batch import ProteinBatch
-from packppi_tpu.ops.clash import compute_residue_clash
+from packppi_tpu.ops.clash import compute_residue_clash, resolve_clash_backend
 
 
 def _row_mean(x, mask, eps=1e-10):
@@ -35,12 +35,13 @@ def _row_mean(x, mask, eps=1e-10):
 def find_clash_mask(batch: ProteinBatch, SC_D,
                     violation_tolerance_factor: float = 12.0,
                     clash_overlap_tolerance: float = 0.5,
-                    block: int = 128):
+                    block: int = 128, backend: str = "scan"):
     """Residues whose clash exceeds their complex's mean get optimized.
     [B, L, 4] bool. (Per-complex thresholds: batched complexes stay
     independent; identical to the reference's global mean at B=1.)"""
     prc = compute_residue_clash(batch, SC_D, violation_tolerance_factor,
-                                clash_overlap_tolerance, block=block)
+                                clash_overlap_tolerance, block=block,
+                                backend=backend)
     mean_clash = _row_mean(prc, batch.residue_mask)[:, None]
     sel = (prc > mean_clash) & (batch.residue_mask > 0)
     return jnp.broadcast_to(sel[..., None], (*sel.shape, 4))
@@ -64,16 +65,22 @@ def proximal_optimize(batch: ProteinBatch, SC_D,
                       lamda: float = 1.0,
                       num_steps: int = 50,
                       lr: float = 1e-2,
-                      block: int = 128) -> ProximalResult:
+                      block: int = 128,
+                      backend: str = "auto") -> ProximalResult:
+    # backend "auto": differentiable Pallas pair kernels on TPU (each Adam
+    # step's clash grad is a fwd+bwd tile pass, no O(L^2) tensors), the
+    # remat lax.scan path elsewhere. Values/gradients parity-locked.
+    backend = resolve_clash_backend(backend)
     clash_mask = find_clash_mask(batch, SC_D, violation_tolerance_factor,
-                                 clash_overlap_tolerance, block)
+                                 clash_overlap_tolerance, block, backend)
     z = SC_D * clash_mask
     rm = batch.residue_mask
 
     def objective(x):
         x_eff = jnp.where(clash_mask, x, SC_D)
         prc = compute_residue_clash(batch, x_eff, violation_tolerance_factor,
-                                    clash_overlap_tolerance, block=block)
+                                    clash_overlap_tolerance, block=block,
+                                    backend=backend)
         row = (_row_mean(((x_eff - z) ** 2).sum(-1), rm)
                + lamda * _row_mean(prc, rm))   # [B] independent complexes
         return row.mean(), row
