@@ -36,7 +36,12 @@ def _timeit(fn) -> float:
 
 
 def main() -> None:
-    from packppi_tpu.utils.platform import enable_compilation_cache
+    import os
+
+    from packppi_tpu.utils.platform import configure_platform, enable_compilation_cache
+    # PACKPPI_PLATFORM=cpu lets the bench run on hosts without the chip
+    # (numbers are then NOT the headline TPU figures, just a smoke run)
+    configure_platform(os.environ.get("PACKPPI_PLATFORM"))
     enable_compilation_cache()
     import jax
 
@@ -97,6 +102,26 @@ def main() -> None:
                  for k in range(3))
     throughput = B * R8 / max(total8 - floor, 1e-9)
 
+    # training throughput (B=4 x L=1024 crops of T1124): R jitted train
+    # steps chained through lax.scan-style python loop on donated state —
+    # the per-step wall includes optimizer + nonfinite-guard, exactly the
+    # production hot loop (train/diffusion_task.make_train_step)
+    from packppi_tpu.train.diffusion_task import (init_state, make_optimizer,
+                                                  make_train_step)
+
+    batch_t = stack_batch([feats] * 4, target_len=1024)
+    optimizer = make_optimizer()
+    state = init_state(model, jax.random.key(3), batch_t, optimizer)
+    tstep = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
+    state, l0 = tstep(state, batch_t)
+    float(l0)  # compile + warm
+    RT = 8
+    t0 = time.perf_counter()
+    for _ in range(RT):
+        state, l0 = tstep(state, batch_t)
+    float(l0)
+    train_ms = (time.perf_counter() - t0) / RT * 1e3
+
     print(json.dumps({
         "metric": "t1124_pack_throughput_b8",
         "value": round(throughput, 2),
@@ -105,11 +130,25 @@ def main() -> None:
         "baseline_source": BASELINE_SOURCE,
     }))
     print(json.dumps({
+        "metric": "train_step_b4_l1024",
+        "value": round(train_ms, 2),
+        "unit": "ms",
+        # no reference timing exists for training; report vs our r3-measured
+        # 48 ms/step figure (PERF.md) so the driver sees regressions
+        "vs_baseline": round(48.0 / train_ms, 2),
+        "baseline_source": "our r3 measurement: ~48 ms/step at B=4/L=1024 on v5e (PERF.md); the reference publishes no training timings",
+    }))
+    # headline ratio is vs the CONSERVATIVE A100-class bound (0.5 s, the
+    # fast end of BASELINE.md's 0.5-3 s derivation), not the 1-core torch
+    # CPU measurement — the honest comparison per VERDICT r3; the measured
+    # CPU ratio ships alongside in its own field
+    print(json.dumps({
         "metric": "t1124_pack_latency",
         "value": round(value, 4),
         "unit": "s",
-        "vs_baseline": round(MEASURED_REFERENCE_SECONDS / value, 2),
-        "baseline_source": BASELINE_SOURCE,
+        "vs_baseline": round(0.5 / value, 2),
+        "vs_measured_cpu_reference": round(MEASURED_REFERENCE_SECONDS / value, 2),
+        "baseline_source": "A100-class bound, fast end (0.5 s of 0.5-3 s, BASELINE.md); measured torch-CPU reference 47.10 s also reported (vs_measured_cpu_reference)",
     }))
 
 
