@@ -59,6 +59,10 @@ class NetworkConfig:
     # fused_messages="geom" / fused_layers (those kernels read global
     # points); values identical at f32 (tested).
     geometry_mode: str = "global"
+    # lane-major geometry feature assembly (ipmp.geometry_features_lanes):
+    # intermediates run [B, rows, L*K] (full VPU lanes) with a one-hot MXU
+    # gather, values identical to the default planes path (tested)
+    geometry_lanes: bool = False
 
 
 class ChiScoreNetwork(nn.Module):
@@ -91,6 +95,7 @@ class ChiScoreNetwork(nn.Module):
             k_neighbors=c.k_neighbors,
             dtype=dtype,
             edge_dim=c.edge_features,
+            geometry_lanes=c.geometry_lanes,
             name="MessagePassingStack_0",
         )
         self.dec1 = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2, dtype=dtype, name="MLP_0")

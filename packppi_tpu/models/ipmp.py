@@ -168,6 +168,81 @@ def geometry_features_local(p_local: jnp.ndarray, idx: jnp.ndarray, rel,
     return geometry_edge_features_local(p_local, nbr, rel)
 
 
+def _geom_row_perm(P: int):
+    """Row permutation mapping the lane-major plane order to
+    ``geometry_edge_features``'s feature order.
+
+    Lane-major rows (axis 1 of [B, 72, N]) are produced grouped by plane:
+    [plx(P) | ply(P) | plz(P) | norm_pl(P) | nlx(P) | nly(P) | nlz(P) |
+    norm_nl(P) | norm_pair(P)]. The reference layout interleaves point
+    components: [pl xyz-interleaved (3P) | norm_pl (P) | nl xyz-interleaved
+    (3P) | norm_nl (P) | norm_pair (P)]. Returns ``perm`` with
+    ``lane_major_rows[perm] == reference_rows``."""
+    import numpy as np
+    perm = []
+    for p in range(P):                       # pl interleaved: x_p, y_p, z_p
+        perm += [p, P + p, 2 * P + p]
+    perm += list(range(3 * P, 4 * P))        # norm_pl
+    for p in range(P):                       # nl interleaved
+        perm += [4 * P + p, 5 * P + p, 6 * P + p]
+    perm += list(range(7 * P, 8 * P))        # norm_nl
+    perm += list(range(8 * P, 9 * P))        # norm_pair
+    return np.asarray(perm)
+
+
+def geometry_features_lanes(p_local: jnp.ndarray, idx: jnp.ndarray,
+                            frames) -> jnp.ndarray:
+    """``geometry_features`` in LANE-MAJOR (K-major) form: every
+    intermediate is a [B, rows, L*K] tensor whose minor dimension is the
+    full edge set, so the VPU runs at 128/128 lanes instead of P=8/128
+    (the r3 profile charged ~490 us/step to the plane gathers + feature
+    assembly + sqrt fusions of the [B, L, K, P]-layout path; see PERF.md
+    "K-major geometry A/B"). The neighbor gather is a one-hot MXU
+    contraction over [B, 3P, L] x [B, N, L] (exact selection — one-hot
+    weights are exactly 1.0). Output is transposed once and row-permuted
+    to the reference feature order: values match ``geometry_features``
+    to f32 associativity (tested)."""
+    B, L, P = p_local.shape[:3]
+    K = idx.shape[-1]
+    N = L * K
+    R, t = frames.rot, frames.trans                       # [B,L,3,3],[B,L,3]
+
+    pg = geometry_global_points(p_local, frames)          # [B, L, 3P]
+    pg_t = pg.swapaxes(1, 2)                              # [B, 3P, L] (small)
+    oh = (idx.reshape(B, N, 1)
+          == jnp.arange(L, dtype=idx.dtype)[None, None, :]).astype(pg.dtype)
+    ng = jnp.einsum("bcl,bnl->bcn", pg_t, oh)             # [B, 3P, N] gather
+    ngx, ngy, ngz = ng[:, :P], ng[:, P:2 * P], ng[:, 2 * P:]
+
+    rep = lambda a: jnp.repeat(a, K, axis=1)[:, None]     # [B,L]->[B,1,N]
+    # i's frame, broadcast across its K edges (full-lane rows)
+    dx = ngx - rep(t[..., 0])
+    dy = ngy - rep(t[..., 1])
+    dz = ngz - rep(t[..., 2])
+    rr = lambda a, b: rep(R[..., a, b])
+    nlx = rr(0, 0) * dx + rr(1, 0) * dy + rr(2, 0) * dz   # [B, P, N]
+    nly = rr(0, 1) * dx + rr(1, 1) * dy + rr(2, 1) * dz
+    nlz = rr(0, 2) * dx + rr(1, 2) * dy + rr(2, 2) * dz
+
+    # per-point planes of i, broadcast across K: [B,L,P]->[B,P,N]
+    repP = lambda a: jnp.repeat(a.swapaxes(1, 2), K, axis=2)
+    plx, ply, plz = (repP(p_local[..., c]) for c in range(3))
+    pgx, pgy, pgz = (repP(pg[..., c * P:(c + 1) * P]) for c in range(3))
+
+    eps = 1e-8
+    norm_pl = jnp.sqrt(plx * plx + ply * ply + plz * plz + eps)
+    norm_nl = jnp.sqrt(nlx * nlx + nly * nly + nlz * nlz + eps)
+    ddx = pgx - ngx
+    ddy = pgy - ngy
+    ddz = pgz - ngz
+    norm_pair = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + eps)
+
+    rows = jnp.concatenate([plx, ply, plz, norm_pl, nlx, nly, nlz,
+                            norm_nl, norm_pair], axis=1)  # [B, 9P, N]
+    rows = rows[:, _geom_row_perm(P)]                     # reference order
+    return rows.swapaxes(1, 2).reshape(B, L, K, 9 * P)    # one transpose
+
+
 def geometry_features(p_local: jnp.ndarray, idx: jnp.ndarray, frames) -> jnp.ndarray:
     """[B, L, K, 9*P] frame-invariant point features (pure function).
 
@@ -356,6 +431,7 @@ class InvariantPointLayer(nn.Module):
     position_scale: float = 1.0
     dtype: object = None  # message/FFN computation dtype (geometry stays f32)
     edge_dim: int = 128
+    geometry_lanes: bool = False  # lane-major geometry (geometry_features_lanes)
 
     def _geometry_features(self, h_V, idx, frames, points_fn, rel=None):
         """[B, L, K, 9*n_points] frame-invariant point features — see the
@@ -367,6 +443,8 @@ class InvariantPointLayer(nn.Module):
         if rel is not None:
             return geometry_features_local(p_local, idx, rel,
                                            stream_dtype=self.dtype)
+        if self.geometry_lanes:
+            return geometry_features_lanes(p_local, idx, frames)
         return geometry_features(p_local, idx, frames)
 
     @nn.compact
@@ -519,6 +597,7 @@ class MessagePassingStack(nn.Module):
     k_neighbors: int = 32
     dtype: object = None
     edge_dim: int = 128
+    geometry_lanes: bool = False
 
     @staticmethod
     def attend_mask(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -554,6 +633,7 @@ class MessagePassingStack(nn.Module):
                     self.hidden_dim, self.n_points, self.dropout, self.act,
                     edge_update=True, position_scale=self.position_scale,
                     dtype=self.dtype, edge_dim=self.edge_dim,
+                    geometry_lanes=self.geometry_lanes,
                 )(h_V, h_E, idx, X, mask, mask_attend, deterministic, fused,
                   do_edge_update=not (last and skip_last_edge_update),
                   fused_layer=fused_layer, rel=rel)

@@ -479,3 +479,42 @@ def test_masked_knn_blocked_matches_dense():
     D_b, idx_b = masked_knn(coords, mask, k, block=128)         # blocked+pad
     np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_d))
     np.testing.assert_allclose(np.asarray(D_b), np.asarray(D_d), rtol=1e-6)
+
+
+def test_geometry_features_lanes_matches_planes():
+    """Lane-major geometry assembly (geometry_features_lanes) is exact vs
+    the [B, L, K, P]-planes path, including the row permutation back to the
+    reference feature order."""
+    import numpy as np
+
+    from packppi_tpu.geometry.rigid import Rigid
+    from packppi_tpu.models.ipmp import geometry_features, geometry_features_lanes
+
+    rng = np.random.default_rng(0)
+    B, L, P, K = 2, 64, 8, 16
+    p_local = jnp.asarray(rng.normal(0, 2, (B, L, P, 3)).astype(np.float32))
+    Q = np.linalg.qr(rng.normal(size=(B, L, 3, 3)))[0].astype(np.float32)
+    t = rng.normal(0, 50, (B, L, 3)).astype(np.float32)
+    frames = Rigid(jnp.asarray(Q), jnp.asarray(t))
+    idx = jnp.asarray(rng.integers(0, L, (B, L, K)).astype(np.int32))
+
+    ref = geometry_features(p_local, idx, frames)
+    got = geometry_features_lanes(p_local, idx, frames)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_geometry_lanes_knob_end_to_end(small_batch):
+    """NetworkConfig.geometry_lanes flips the assembly path without
+    changing scores (same params, same key)."""
+    import numpy as np
+
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+
+    b = small_batch
+    m0 = TorsionalDiffusion.create(NetworkConfig(), SampleConfig())
+    m1 = TorsionalDiffusion.create(NetworkConfig(geometry_lanes=True), SampleConfig())
+    params = m0.init(jax.random.key(0), b)
+    t = jnp.full(b.residue_mask.shape, 0.5)
+    s0, _ = m0.apply(params, b, jnp.asarray(b.SC_D), t)
+    s1, _ = m1.apply(params, b, jnp.asarray(b.SC_D), t)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=1e-5)
