@@ -179,7 +179,7 @@ class ChiScoreNetwork(nn.Module):
             # unfused, PERF.md); the "geom" variant stays inference-only
             fused=(c.fused_messages if deterministic
                    else c.fused_messages is True and c.fused_messages_train),
-            skip_last_edge_update=skip_last_edge_update and deterministic,
+            skip_last_edge_update=skip_last_edge_update,
             fused_layer=c.fused_layers and deterministic,
             mask_attend=mask_attend,
             geometry_local=c.geometry_mode == "local", rel=rel)

@@ -99,9 +99,15 @@ class TorsionalDiffusion:
         # dropout active, val/loss compares dropout noise across epochs and
         # best-checkpoint selection keys on a lucky draw). t/noise sampling
         # stays stochastic in eval, as in the reference.
+        # skip_last_edge_update: the stack returns h_V only, so the last
+        # layer's edge update is dead in the loss. A/B measured NEUTRAL
+        # (56.5-58.9 ms/step both ways at B=4/L=1024 — XLA already DCEs the
+        # dead subgraph through the module boundaries); kept explicit so the
+        # traced loss graph matches intent and skips tracing the dead pass
         pred, _ = self.apply(params, batch, noised, t,
                              deterministic=deterministic,
-                             rngs={"dropout": kd})
+                             rngs={"dropout": kd},
+                             skip_last_edge_update=True)
 
         sn_pi = self.schedule_pi.tables.lookup_score_norm(sigma)
         sn_2pi = self.schedule_2pi.tables.lookup_score_norm(sigma)
