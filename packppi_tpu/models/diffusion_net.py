@@ -61,8 +61,10 @@ class NetworkConfig:
     geometry_mode: str = "global"
     # lane-major geometry feature assembly (ipmp.geometry_features_lanes):
     # intermediates run [B, rows, L*K] (full VPU lanes) with a one-hot MXU
-    # gather, values identical to the default planes path (tested)
-    geometry_lanes: bool = False
+    # gather, values identical to the planes path (tested). DEFAULT since
+    # the r4 A/B: 29.33 vs 30.42 ms/pack on T1124/v5e; set False for the
+    # [B, L, K, P]-planes assembly
+    geometry_lanes: bool = True
 
 
 class ChiScoreNetwork(nn.Module):
