@@ -6,7 +6,11 @@ Concatenates T1124 (739 res, chains A+B), a translated copy of T1124
 end-to-end CLI workload recorded in PERF.md. Copies are translated apart
 along x so no artificial inter-complex contacts are introduced.
 
-Usage: python tools/make_large_fixture.py [out.pdb]
+Usage: python tools/make_large_fixture.py [out.pdb] [n_t1124_copies]
+
+With ``n_t1124_copies`` (default 2), the complex is n translated T1124
+copies + one 2FTL — e.g. 11 copies builds the ~8.4k-residue single-chip
+memory-evidence workload (VERDICT r4: linear-memory kNN + clash).
 """
 from __future__ import annotations
 
@@ -19,15 +23,15 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 
 
-def main(out_path: str = "/tmp/large_complex.pdb"):
+def main(out_path: str = "/tmp/large_complex.pdb", n_t1124: str = "2"):
     import dataclasses
 
     from packppi_tpu.structure import from_pdb_file, to_pdb
 
+    specs = [("t1124", (120.0 * i, 0.0, 0.0)) for i in range(int(n_t1124))]
+    specs.append(("2ftl", (120.0 * int(n_t1124), 0.0, 0.0)))
     parts = []
-    for name, shift in [("t1124", (0.0, 0.0, 0.0)),
-                        ("t1124", (120.0, 0.0, 0.0)),
-                        ("2ftl", (240.0, 0.0, 0.0))]:
+    for name, shift in specs:
         prot = from_pdb_file(REPO / f"tests/fixtures/{name}.pdb", mse_to_met=True)
         prot = dataclasses.replace(
             prot, atom_positions=prot.atom_positions + np.asarray(shift))
