@@ -65,6 +65,10 @@ class NetworkConfig:
     # the r4 A/B: 29.33 vs 30.42 ms/pack on T1124/v5e; set False for the
     # [B, L, K, P]-planes assembly
     geometry_lanes: bool = True
+    # rematerialize each message-passing layer in the training backward
+    # (recompute instead of store activations) — a traffic/memory knob for
+    # the gather/scatter-bound train step (PERF.md r4 train round)
+    remat_layers: bool = False
 
 
 class ChiScoreNetwork(nn.Module):
@@ -98,6 +102,7 @@ class ChiScoreNetwork(nn.Module):
             dtype=dtype,
             edge_dim=c.edge_features,
             geometry_lanes=c.geometry_lanes,
+            remat=c.remat_layers,
             name="MessagePassingStack_0",
         )
         self.dec1 = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2, dtype=dtype, name="MLP_0")

@@ -598,6 +598,9 @@ class MessagePassingStack(nn.Module):
     dtype: object = None
     edge_dim: int = 128
     geometry_lanes: bool = False
+    # rematerialize each layer in the backward (training memory/traffic
+    # knob): activations inside a layer are recomputed instead of stored
+    remat: bool = False
 
     @staticmethod
     def attend_mask(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -629,14 +632,23 @@ class MessagePassingStack(nn.Module):
             # enabled, apply simply does not touch those weights.
             last = layer == self.num_layers - 1
             if self.use_ipmp:
-                h_V, h_E = InvariantPointLayer(
+                cls = InvariantPointLayer
+                if self.remat and not deterministic:
+                    # static_argnums count self as 0; booleans at call
+                    # positions 7-10 (deterministic, fused, do_edge_update,
+                    # fused_layer) must be static under nn.remat
+                    cls = nn.remat(InvariantPointLayer,
+                                   static_argnums=(7, 8, 9, 10))
+                h_V, h_E = cls(
                     self.hidden_dim, self.n_points, self.dropout, self.act,
                     edge_update=True, position_scale=self.position_scale,
                     dtype=self.dtype, edge_dim=self.edge_dim,
                     geometry_lanes=self.geometry_lanes,
+                    # explicit name: the remat wrapper must bind the SAME
+                    # param path the un-remat'd init created
+                    name=f"InvariantPointLayer_{layer}",
                 )(h_V, h_E, idx, X, mask, mask_attend, deterministic, fused,
-                  do_edge_update=not (last and skip_last_edge_update),
-                  fused_layer=fused_layer, rel=rel)
+                  not (last and skip_last_edge_update), fused_layer, rel=rel)
             else:
                 h_V, h_E = VanillaMPNNLayer(
                     self.hidden_dim, self.dropout, self.act,

@@ -518,3 +518,23 @@ def test_geometry_lanes_knob_end_to_end(small_batch):
     s0, _ = m0.apply(params, b, jnp.asarray(b.SC_D), t)
     s1, _ = m1.apply(params, b, jnp.asarray(b.SC_D), t)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=1e-5)
+
+
+def test_remat_layers_loss_and_grad_parity(small_batch):
+    """remat_layers=True recomputes layer activations in the backward;
+    loss and every gradient leaf must be bit-identical to the stored
+    -activations path."""
+    import numpy as np
+
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+
+    b = small_batch
+    m0 = TorsionalDiffusion.create(NetworkConfig(), SampleConfig())
+    m1 = TorsionalDiffusion.create(NetworkConfig(remat_layers=True), SampleConfig())
+    p = m0.init(jax.random.key(0), b)
+    k = jax.random.key(1)
+    l0, g0 = jax.value_and_grad(lambda pp: m0.loss(pp, k, b))(p)
+    l1, g1 = jax.value_and_grad(lambda pp: m1.loss(pp, k, b))(p)
+    assert float(l0) == float(l1)
+    for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)

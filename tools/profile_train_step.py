@@ -102,6 +102,8 @@ def parse_trace(trace_dir: str, steps: int, top: int = 40):
     per_src = defaultdict(float)
     per_tf = defaultdict(float)
     total = 0.0
+    total_bytes = 0.0
+    total_flops = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
@@ -112,7 +114,6 @@ def parse_trace(trace_dir: str, steps: int, top: int = 40):
         dur = float(e.get("dur", 0.0))
         if dur <= 0:
             continue
-        hlo_kind = args["long_name"].split("=", 1)[-1]
         per_op[(name, args.get("source", "?"), args.get("tf_op", "?"))] += dur
         src = args.get("source", "?")
         per_src[src] += dur
@@ -120,9 +121,21 @@ def parse_trace(trace_dir: str, steps: int, top: int = 40):
         # collapse to the first two path segments of the tf op name
         per_tf["/".join(tf.split("/")[:3])] += dur
         total += dur
+        total_bytes += float(args.get("raw_bytes_accessed",
+                                      args.get("bytes_accessed", 0)) or 0)
+        total_flops += float(args.get("model_flops", 0) or 0)
 
     print(f"\ndevice XLA-op time: {total / 1e3:.2f} ms over {steps} steps "
           f"({total / steps / 1e3:.3f} ms/step)")
+    if total_bytes:
+        gb_step = total_bytes / steps / 2**30
+        bw = total_bytes / (total / 1e6) / 2**30 if total else 0.0
+        print(f"bytes accessed: {gb_step:.2f} GiB/step -> sustained "
+              f"{bw:.0f} GiB/s over op time (v5e HBM ~819 GB/s peak); "
+              f"roofline floor at peak BW = {total_bytes / steps / 819e9 * 1e3:.1f} ms/step")
+    if total_flops:
+        print(f"model flops: {total_flops / steps / 1e9:.1f} GF/step -> "
+              f"{total_flops / (total / 1e6) / 1e12:.1f} TF/s achieved")
 
     print(f"\nby source line (top {top}):")
     print(f"{'us/step':>9}  {'share':>6}  source")
