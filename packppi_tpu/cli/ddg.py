@@ -91,7 +91,7 @@ def run_eval_csv(args) -> dict:
     order = [i for b in loader.plan() for i in b]
 
     model = AffinityModel.create(NetworkConfig(), mode=args.mode,
-                                 strict_parity=not args.no_strict_parity)
+                                 strict_parity=not getattr(args, "no_strict_parity", False))
     key = jax.random.key(args.seed)
     k_bb, k_net = jax.random.split(key)
     # shape template straight from the dataset: starting (and abandoning) a
@@ -164,7 +164,7 @@ def run(args) -> float:
     batch = stack_affinity_batch([feats])
 
     model = AffinityModel.create(NetworkConfig(), mode=args.mode,
-                                 strict_parity=not args.no_strict_parity)
+                                 strict_parity=not getattr(args, "no_strict_parity", False))
     key = jax.random.key(args.seed)
 
     if args.mode == "esm":
