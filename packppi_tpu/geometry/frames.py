@@ -88,6 +88,13 @@ def torsion_angles_to_frames(bb: Rigid, sincos: jnp.ndarray,
 def frames_to_atom14_positions(frames: Rigid, aatype: jnp.ndarray) -> jnp.ndarray:
     """Place literature atom positions through their group frames.
 
+    The per-atom frame selection is a ONE-HOT contraction over the 8 rigid
+    groups rather than a gather: a take_along_axis here moves 9-wide [3, 3]
+    elements (lane-starved on TPU) and its transpose is a scatter-add —
+    the r4 proximal profile charged ~1.8 ms/Adam-step to exactly these two.
+    The einsum's forward AND backward are dense sum-over-8 contractions
+    (full lanes, no scatter); selection is exact (one-hot weights are 1.0).
+
     Args:
         frames: [..., L, 8] group-to-global frames.
         aatype: [..., L].
@@ -96,7 +103,10 @@ def frames_to_atom14_positions(frames: Rigid, aatype: jnp.ndarray) -> jnp.ndarra
         [..., L, 14, 3] atom positions (masked to existing atoms).
     """
     group = jnp.asarray(CHEM.atom14_to_rigid_group)[aatype]          # [..., L, 14]
-    atom_frames = _take_frames(frames, group, axis=-1)               # [..., L, 14]
+    oh = (group[..., None] == jnp.arange(8)).astype(frames.rot.dtype)  # [..., L, 14, 8]
+    rot = jnp.einsum("...ag,...gij->...aij", oh, frames.rot)         # [..., L, 14, 3, 3]
+    trans = jnp.einsum("...ag,...gi->...ai", oh, frames.trans)       # [..., L, 14, 3]
+    atom_frames = Rigid(rot, trans)
     lit = jnp.asarray(CHEM.atom14_local_positions)[aatype]           # [..., L, 14, 3]
     mask = jnp.asarray(CHEM.atom14_mask)[aatype]                     # [..., L, 14]
     return rigid_apply(atom_frames, lit) * mask[..., None]
