@@ -122,6 +122,24 @@ def main() -> None:
     float(l0)
     train_ms = (time.perf_counter() - t0) / RT * 1e3
 
+    # proximal clash optimization (50 Adam steps differentiating through
+    # torsions->frames->atom14->clash; Pallas pair kernels on TPU)
+    from packppi_tpu.sampling.proximal import proximal_optimize
+
+    prox = jax.jit(lambda b, s: proximal_optimize(b, s).SC_D)
+    float(prox(batch, batch.SC_D).sum())  # compile + warm
+    t_prox = min(_timeit(lambda: float(prox(batch, batch.SC_D).sum()))
+                 for _ in range(3))
+
+    print(json.dumps({
+        "metric": "t1124_proximal_50steps",
+        "value": round(t_prox, 4),
+        "unit": "s",
+        # the reference's proximal_optimize.py on this host's CPU: 1701 s
+        # (tools/bench_reference.py r2); no GPU figure is published
+        "vs_baseline": round(1701.0 / t_prox, 1),
+        "baseline_source": "measured: reference proximal_optimize on T1124, torch CPU 1-core host (1701 s); reference publishes no GPU timing and OOMs >1500 residues",
+    }))
     print(json.dumps({
         "metric": "t1124_pack_throughput_b8",
         "value": round(throughput, 2),
