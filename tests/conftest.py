@@ -55,6 +55,9 @@ _SMOKE = {
     "test_single_chain_no_pads",                # ESM sequence build
     "test_pallas_kernel_matches_jnp",           # Pallas clash kernel (interpret)
     "test_pipeline_validates_divisibility",     # pipeline parallelism glue
+    "test_masked_knn_blocked_matches_dense",    # linear-memory kNN (r4)
+    "test_geometry_features_lanes_matches_planes",  # lane-major geometry (r4)
+    "test_metric_logger_wandb_backend",         # logger backends (r4)
 }
 
 
