@@ -9,6 +9,7 @@ instead of one-hot masked sums, so XLA fuses the whole chain.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from packppi_tpu.chem import CHEM
@@ -104,8 +105,15 @@ def frames_to_atom14_positions(frames: Rigid, aatype: jnp.ndarray) -> jnp.ndarra
     """
     group = jnp.asarray(CHEM.atom14_to_rigid_group)[aatype]          # [..., L, 14]
     oh = (group[..., None] == jnp.arange(8)).astype(frames.rot.dtype)  # [..., L, 14, 8]
-    rot = jnp.einsum("...ag,...gij->...aij", oh, frames.rot)         # [..., L, 14, 3, 3]
-    trans = jnp.einsum("...ag,...gi->...ai", oh, frames.trans)       # [..., L, 14, 3]
+    # HIGHEST: the default MXU pass would round the f32 frames to bf16
+    # (global translations are O(100 A) -> ~0.4 A coordinate error,
+    # measured on-chip for the analogous geometry einsum); exact under
+    # bf16x3 decomposition
+    hp = jax.lax.Precision.HIGHEST
+    rot = jnp.einsum("...ag,...gij->...aij", oh, frames.rot,
+                     precision=hp)                                   # [..., L, 14, 3, 3]
+    trans = jnp.einsum("...ag,...gi->...ai", oh, frames.trans,
+                       precision=hp)                                 # [..., L, 14, 3]
     atom_frames = Rigid(rot, trans)
     lit = jnp.asarray(CHEM.atom14_local_positions)[aatype]           # [..., L, 14, 3]
     mask = jnp.asarray(CHEM.atom14_mask)[aatype]                     # [..., L, 14]

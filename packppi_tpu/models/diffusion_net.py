@@ -61,10 +61,12 @@ class NetworkConfig:
     geometry_mode: str = "global"
     # lane-major geometry feature assembly (ipmp.geometry_features_lanes):
     # intermediates run [B, rows, L*K] (full VPU lanes) with a one-hot MXU
-    # gather, values identical to the planes path (tested). DEFAULT since
-    # the r4 A/B: 29.33 vs 30.42 ms/pack on T1124/v5e; set False for the
-    # [B, L, K, P]-planes assembly
-    geometry_lanes: bool = True
+    # gather. NON-DEFAULT after the r4 precision audit: with the required
+    # HIGHEST-precision selection (default MXU bf16 rounding costs ~0.5 A
+    # on global coordinates, measured on-chip) the path measures 31.68 vs
+    # 29.31 ms/pack — the apparent win was the unsound bf16 selection.
+    # Kept as an exact, tested alternative assembly.
+    geometry_lanes: bool = False
     # rematerialize each message-passing layer in the training backward
     # (recompute instead of store activations) — a traffic/memory knob for
     # the gather/scatter-bound train step (PERF.md r4 train round)

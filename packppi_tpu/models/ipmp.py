@@ -211,7 +211,13 @@ def geometry_features_lanes(p_local: jnp.ndarray, idx: jnp.ndarray,
     pg_t = pg.swapaxes(1, 2)                              # [B, 3P, L] (small)
     oh = (idx.reshape(B, N, 1)
           == jnp.arange(L, dtype=idx.dtype)[None, None, :]).astype(pg.dtype)
-    ng = jnp.einsum("bcl,bnl->bcn", pg_t, oh)             # [B, 3P, N] gather
+    # HIGHEST precision is REQUIRED for exact selection: the default MXU
+    # pass casts f32 operands to bf16, which rounds O(100 A) global
+    # coordinates by up to ~0.5 A (measured on-chip; same failure mode as
+    # the rejected Gram-matrix clash kernel). bf16x3 decomposition under
+    # HIGHEST reproduces f32 exactly, and one-hot weights survive any cast.
+    ng = jnp.einsum("bcl,bnl->bcn", pg_t, oh,
+                    precision=jax.lax.Precision.HIGHEST)  # [B, 3P, N] gather
     ngx, ngy, ngz = ng[:, :P], ng[:, P:2 * P], ng[:, 2 * P:]
 
     rep = lambda a: jnp.repeat(a, K, axis=1)[:, None]     # [B,L]->[B,1,N]

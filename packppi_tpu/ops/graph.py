@@ -104,7 +104,12 @@ def gather_nodes_onehot(nodes: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     flat = nodes.reshape(B, L, -1) if feat_shape else nodes.reshape(B, L, 1)
     oh = (idx.reshape(B, -1, 1)
           == jnp.arange(L, dtype=idx.dtype)[None, None, :]).astype(flat.dtype)
-    out = jnp.einsum("bnl,blc->bnc", oh, flat)
+    # HIGHEST precision: the default MXU pass casts f32 payloads to bf16 —
+    # selection is only exact when the payload operand is decomposed
+    # (bf16x3); measured on-chip r4 (the "EXACT for any dtype" claim below
+    # holds ONLY with this)
+    out = jnp.einsum("bnl,blc->bnc", oh, flat,
+                     precision=jax.lax.Precision.HIGHEST)
     return (out.reshape(*idx.shape, *feat_shape) if feat_shape
             else out.reshape(*idx.shape))
 
