@@ -26,7 +26,13 @@ import jax.numpy as jnp
 
 from packppi_tpu.geometry.dihedrals import dihedral_from_four_points
 from packppi_tpu.models.layers import Dense, SinusoidalTimeEmbedding
-from packppi_tpu.ops.graph import gather_nodes, masked_knn
+# encoder neighbor gathers run as one-hot contractions: at train time the
+# encoder re-encodes every batch, and the narrow payloads (1-15 lanes)
+# make the gather emitter lane-starved — measured 56.4 -> 50.2 ms/step at
+# B=4/L=1024 with HIGHEST-precision (exact) selection, loss bit-identical
+# (PERF.md r4 train round). Inference encodes once per pack; neutral there.
+from packppi_tpu.ops.graph import gather_nodes_onehot as gather_nodes
+from packppi_tpu.ops.graph import masked_knn
 
 
 def impute_cb(N, CA, C):
