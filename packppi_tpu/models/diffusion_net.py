@@ -71,6 +71,12 @@ class NetworkConfig:
     # (recompute instead of store activations) — a traffic/memory knob for
     # the gather/scatter-bound train step (PERF.md r4 train round)
     remat_layers: bool = False
+    # replace the scatter-add BACKWARD of the message-stack gathers with a
+    # blocked one-hot MXU contraction (ops.graph.gather_nodes_mg, custom
+    # VJP; forward stays the plain row-gather). The train step is
+    # gather/scatter-bound (PERF.md r4); gradients are the same sums up to
+    # float reassociation.
+    mxu_gather_grad: bool = False
 
 
 class ChiScoreNetwork(nn.Module):
@@ -105,6 +111,7 @@ class ChiScoreNetwork(nn.Module):
             edge_dim=c.edge_features,
             geometry_lanes=c.geometry_lanes,
             remat=c.remat_layers,
+            mxu_gather_grad=c.mxu_gather_grad,
             name="MessagePassingStack_0",
         )
         self.dec1 = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2, dtype=dtype, name="MLP_0")

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from packppi_tpu.geometry.rigid import bb_frames_from_atom14, scale_translation
 from packppi_tpu.models.layers import MLP
-from packppi_tpu.ops.graph import gather_nodes
+from packppi_tpu.ops.graph import gather_nodes, gather_nodes_mg
 
 
 
@@ -249,7 +249,8 @@ def geometry_features_lanes(p_local: jnp.ndarray, idx: jnp.ndarray,
     return rows.swapaxes(1, 2).reshape(B, L, K, 9 * P)    # one transpose
 
 
-def geometry_features(p_local: jnp.ndarray, idx: jnp.ndarray, frames) -> jnp.ndarray:
+def geometry_features(p_local: jnp.ndarray, idx: jnp.ndarray, frames,
+                      mxu_gather_grad: bool = False) -> jnp.ndarray:
     """[B, L, K, 9*P] frame-invariant point features (pure function).
 
     Given per-node predicted points ``p_local`` [B, L, P, 3] in each node's
@@ -268,7 +269,8 @@ def geometry_features(p_local: jnp.ndarray, idx: jnp.ndarray, frames) -> jnp.nda
     gather. Shared by the unfused flax path (InvariantPointLayer) and the
     step-fused Pallas layer path (ops.pallas_layer).
     """
-    nbr = gather_nodes(geometry_global_points(p_local, frames), idx)
+    g = gather_nodes_mg if mxu_gather_grad else gather_nodes
+    nbr = g(geometry_global_points(p_local, frames), idx)
     return geometry_edge_features(p_local, nbr, frames)
 
 
@@ -308,6 +310,9 @@ class FactoredMessageMLP(nn.Module):
     geom_dim: int = 72
     act: str = "relu"
     dtype: object = None
+    # route the wide per-edge gathers through gather_nodes_mg (one-hot MXU
+    # backward instead of XLA's scatter-add transpose) — training knob
+    mxu_gather_grad: bool = False
 
     def setup(self):
         H = self.hidden_dim
@@ -418,7 +423,8 @@ class FactoredMessageMLP(nn.Module):
         act = _ACTS[self.act]
         per_e = self._mm(jnp.concatenate([h_E, geom.astype(h_E.dtype)], -1),
                          self.Dense_e.kernel) + self.Dense_e.bias
-        x = act(per_i[:, :, None] + gather_nodes(per_j, idx) + per_e)
+        g = gather_nodes_mg if self.mxu_gather_grad else gather_nodes
+        x = act(per_i[:, :, None] + g(per_j, idx) + per_e)
         x = act(self._mm(x, self.Dense_1.kernel) + self.Dense_1.bias)
         x = self._mm(x, self.Dense_2.kernel) + self.Dense_2.bias
         if pool:
@@ -438,6 +444,7 @@ class InvariantPointLayer(nn.Module):
     dtype: object = None  # message/FFN computation dtype (geometry stays f32)
     edge_dim: int = 128
     geometry_lanes: bool = False  # lane-major geometry (geometry_features_lanes)
+    mxu_gather_grad: bool = False  # one-hot MXU gather backwards (training)
 
     def _geometry_features(self, h_V, idx, frames, points_fn, rel=None):
         """[B, L, K, 9*n_points] frame-invariant point features — see the
@@ -451,7 +458,8 @@ class InvariantPointLayer(nn.Module):
                                            stream_dtype=self.dtype)
         if self.geometry_lanes:
             return geometry_features_lanes(p_local, idx, frames)
-        return geometry_features(p_local, idx, frames)
+        return geometry_features(p_local, idx, frames,
+                                 mxu_gather_grad=self.mxu_gather_grad)
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask_V=None, mask_attend=None,
@@ -476,7 +484,8 @@ class InvariantPointLayer(nn.Module):
                 do_edge_update=self.edge_update and do_edge_update)
 
         kw = dict(edge_dim=self.edge_dim, geom_dim=9 * self.n_points,
-                  act=self.act, dtype=self.dtype)
+                  act=self.act, dtype=self.dtype,
+                  mxu_gather_grad=self.mxu_gather_grad)
 
         # the in-kernel-geometry path works on global points; with the
         # local-frame rel cache active it falls back to the standard fused
@@ -558,11 +567,13 @@ class VanillaMPNNLayer(nn.Module):
     act: str = "relu"
     edge_update: bool = True
     scale: float = 32.0
+    mxu_gather_grad: bool = False
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X=None, mask_V=None, mask_attend=None,
                  deterministic: bool = True, do_edge_update: bool = True):
-        h_V_j = gather_nodes(h_V, idx)
+        g = gather_nodes_mg if self.mxu_gather_grad else gather_nodes
+        h_V_j = g(h_V, idx)
         h_V_i = jnp.broadcast_to(h_V[:, :, None], h_V_j.shape)
         h_in = jnp.concatenate([h_V_i, h_E, h_V_j], -1)
         msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act)(h_in)
@@ -580,7 +591,7 @@ class VanillaMPNNLayer(nn.Module):
             # same dead-compute skip as the IPMP branch: the final layer's
             # edge output feeds nothing (init still creates the params so
             # the tree is schedule-independent)
-            h_V_j = gather_nodes(h_V, idx)
+            h_V_j = g(h_V, idx)
             h_V_i = jnp.broadcast_to(h_V[:, :, None], h_V_j.shape)
             h_in = jnp.concatenate([h_V_i, h_E, h_V_j], -1)
             e_msg = MLP(self.hidden_dim, self.hidden_dim, 3, act=self.act)(h_in)
@@ -607,6 +618,9 @@ class MessagePassingStack(nn.Module):
     # rematerialize each layer in the backward (training memory/traffic
     # knob): activations inside a layer are recomputed instead of stored
     remat: bool = False
+    # one-hot MXU gather backwards (gather_nodes_mg) on the message-stack
+    # gathers — replaces the scatter-add transpose in training
+    mxu_gather_grad: bool = False
 
     @staticmethod
     def attend_mask(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -650,6 +664,7 @@ class MessagePassingStack(nn.Module):
                     edge_update=True, position_scale=self.position_scale,
                     dtype=self.dtype, edge_dim=self.edge_dim,
                     geometry_lanes=self.geometry_lanes,
+                    mxu_gather_grad=self.mxu_gather_grad,
                     # explicit name: the remat wrapper must bind the SAME
                     # param path the un-remat'd init created
                     name=f"InvariantPointLayer_{layer}",
@@ -659,6 +674,7 @@ class MessagePassingStack(nn.Module):
                 h_V, h_E = VanillaMPNNLayer(
                     self.hidden_dim, self.dropout, self.act,
                     edge_update=True, scale=float(self.k_neighbors),
+                    mxu_gather_grad=self.mxu_gather_grad,
                 )(h_V, h_E, idx, X, mask, mask_attend, deterministic,
                   do_edge_update=not (last and skip_last_edge_update))
         return h_V

@@ -8,8 +8,11 @@ src/models/components/encoder.py:105-118, src/models/components/__init__.py:9-36
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # above this many residues masked_knn switches to the row-blocked path
@@ -117,3 +120,79 @@ def gather_nodes_onehot(nodes: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def gather_edges(edges: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """edges [B, L, L, C] at idx [B, L, K] -> [B, L, K, C]."""
     return jnp.take_along_axis(edges, idx[..., None], axis=2, mode="clip")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_flat_mg(nodes: jnp.ndarray, idx: jnp.ndarray, bwd_block: int):
+    # nodes [B, L, C] at idx [B, N] -> [B, N, C]; same clip semantics as
+    # gather_nodes (indices come from top_k and are always in range)
+    return jnp.take_along_axis(nodes, idx[..., None], axis=1, mode="clip")
+
+
+def _gather_flat_mg_fwd(nodes, idx, bwd_block):
+    return _gather_flat_mg(nodes, idx, bwd_block), (idx, nodes.shape[1])
+
+
+def _gather_flat_mg_bwd(bwd_block, res, ct):
+    # d_nodes[b, l, c] = sum_n [idx[b, n] == l] * ct[b, n, c] — the exact
+    # scatter-add the gather's autodiff transpose emits, but written as a
+    # one-hot MXU contraction (the one-hot never materializes; the
+    # iota-compare fuses into the dot). Blocked over N so compile time and
+    # the worst-case one-hot footprint stay bounded at training shapes —
+    # the unblocked whole-graph transpose is exactly what defeated XLA's
+    # fusion when the forward was switched to one-hot contractions
+    # (PERF.md r4 train round, "did not finish COMPILING within 560 s").
+    idx, L = res
+    B, N = idx.shape
+    C = ct.shape[-1]
+    idx = jnp.clip(idx, 0, L - 1)  # match the forward's mode="clip"
+    iota = jnp.arange(L, dtype=idx.dtype)[None, None, :]
+    nblk = -(-N // bwd_block)
+    if nblk <= 1:
+        oh = (idx[..., None] == iota).astype(ct.dtype)
+        d = jnp.einsum("bnl,bnc->blc", oh, ct,
+                       precision=jax.lax.Precision.HIGHEST)
+    else:
+        pad = nblk * bwd_block - N
+        idx_p = jnp.pad(idx, ((0, 0), (0, pad)))
+        ct_p = jnp.pad(ct, ((0, 0), (0, pad), (0, 0)))  # zero ct: no effect
+
+        def body(acc, i):
+            ib = jax.lax.dynamic_slice_in_dim(idx_p, i * bwd_block,
+                                              bwd_block, axis=1)
+            cb = jax.lax.dynamic_slice_in_dim(ct_p, i * bwd_block,
+                                              bwd_block, axis=1)
+            oh = (ib[..., None] == iota).astype(ct.dtype)
+            return acc + jnp.einsum("bnl,bnc->blc", oh, cb,
+                                    precision=jax.lax.Precision.HIGHEST), None
+
+        d, _ = jax.lax.scan(body, jnp.zeros((B, L, C), ct.dtype),
+                            jnp.arange(nblk))
+    return d, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_gather_flat_mg.defvjp(_gather_flat_mg_fwd, _gather_flat_mg_bwd)
+
+
+def gather_nodes_mg(nodes: jnp.ndarray, idx: jnp.ndarray,
+                    bwd_block: int = 8192) -> jnp.ndarray:
+    """``gather_nodes`` with an MXU one-hot-contraction BACKWARD.
+
+    Forward is the plain row-gather (fastest forward, PERF.md "K-major
+    geometry A/B" context note); the backward replaces XLA's scatter-add
+    transpose with a blocked one-hot matmul — the train step is
+    gather/scatter-bound (47% of device time, PERF.md r4 train round) and
+    the scatter-add emitter is the half we could not reach from graph
+    structure until custom_vjp let us write the transpose ourselves.
+    Gradients are exact sums of cotangent rows (one-hot weights are exactly
+    1.0; HIGHEST precision keeps f32 payloads undecomposed — see
+    gather_nodes_onehot); only the summation ORDER can differ from the
+    scatter-add, so f32 gradients may differ by float-addition
+    reassociation (tested ~1e-7 relative).
+    """
+    B, L = nodes.shape[:2]
+    feat_shape = nodes.shape[2:]
+    flat = nodes.reshape(B, L, -1) if feat_shape else nodes.reshape(B, L, 1)
+    out = _gather_flat_mg(flat, idx.reshape(B, -1), bwd_block)
+    return (out.reshape(*idx.shape, *feat_shape) if feat_shape
+            else out.reshape(*idx.shape))

@@ -481,6 +481,65 @@ def test_masked_knn_blocked_matches_dense():
     np.testing.assert_allclose(np.asarray(D_b), np.asarray(D_d), rtol=1e-6)
 
 
+def test_gather_nodes_mg_matches_gather():
+    """gather_nodes_mg (one-hot MXU backward) matches gather_nodes in value
+    EXACTLY and in gradient up to float reassociation — blocked and
+    unblocked backward, flat and multi-dim payloads."""
+    import numpy as np
+
+    from packppi_tpu.ops.graph import gather_nodes, gather_nodes_mg
+
+    rng = np.random.default_rng(3)
+    B, L, K, C = 2, 70, 11, 13
+    nodes = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, L, (B, L, K)).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(B, L, K, C)).astype(np.float32))
+
+    f_ref = lambda n: (gather_nodes(n, idx) * ct).sum()
+    for blk in (8192, 64):  # one-block and 13-block backward
+        f_mg = lambda n: (gather_nodes_mg(n, idx, bwd_block=blk) * ct).sum()
+        v_ref, g_ref = jax.value_and_grad(f_ref)(nodes)
+        v_mg, g_mg = jax.value_and_grad(f_mg)(nodes)
+        assert float(v_ref) == float(v_mg)  # forward is the same gather
+        np.testing.assert_allclose(np.asarray(g_mg), np.asarray(g_ref),
+                                   rtol=0, atol=1e-5)
+
+    # multi-dim payload ([..., P, 3] geometry planes shape)
+    n3 = jnp.asarray(rng.normal(size=(B, L, 4, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(gather_nodes_mg(n3, idx)), np.asarray(gather_nodes(n3, idx)))
+    g_ref = jax.grad(lambda n: (gather_nodes(n, idx) ** 2).sum())(n3)
+    g_mg = jax.grad(lambda n: (gather_nodes_mg(n, idx) ** 2).sum())(n3)
+    np.testing.assert_allclose(np.asarray(g_mg), np.asarray(g_ref),
+                               rtol=0, atol=1e-4)
+
+
+def test_mxu_gather_grad_train_step_parity(small_batch):
+    """NetworkConfig.mxu_gather_grad changes only the gathers' BACKWARD
+    implementation: the forward loss is bit-identical and one optimizer
+    step lands on near-identical parameters."""
+    import numpy as np
+    import optax
+
+    from packppi_tpu.train.diffusion_task import init_state, make_train_step
+
+    outs = {}
+    for mg in (False, True):
+        model = TorsionalDiffusion.create(
+            NetworkConfig(mxu_gather_grad=mg), SampleConfig())
+        opt = optax.adamw(1e-3)
+        state = init_state(model, jax.random.key(0), small_batch, opt)
+        step = jax.jit(make_train_step(model, opt))
+        state, loss = step(state, small_batch)
+        outs[mg] = (float(loss), state.params)
+    assert outs[False][0] == outs[True][0]  # forward identical -> same loss
+    flat_a = jax.tree_util.tree_leaves(outs[False][1])
+    flat_b = jax.tree_util.tree_leaves(outs[True][1])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5)
+
+
 def test_geometry_features_lanes_matches_planes():
     """Lane-major geometry assembly (geometry_features_lanes) is exact vs
     the [B, L, K, P]-planes path, including the row permutation back to the

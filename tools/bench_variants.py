@@ -177,6 +177,55 @@ def bench_train_fused():
                     flush=True)
 
 
+def bench_train_mg():
+    """A/B: training step with the one-hot MXU gather backward
+    (NetworkConfig.mxu_gather_grad -> ops.graph.gather_nodes_mg) vs the
+    default scatter-add transpose. The r4 profile put 47% of train-step
+    device time in gather forwards + scatter-add backwards."""
+    import os
+
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(os.environ.get("PACKPPI_BENCH_PLATFORM"))
+    import jax
+    import optax
+
+    from __graft_entry__ import _synthetic_batch
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.train.diffusion_task import init_state, make_train_step
+
+    floor = _floor(jax)
+    for B, L in [(4, 1024), (1, 3072)]:
+        batch = _synthetic_batch(B=B, L=L)
+        for dtype in ["float32"]:
+            for mg in [False, True]:
+                model = TorsionalDiffusion.create(
+                    NetworkConfig(compute_dtype=dtype, mxu_gather_grad=mg),
+                    SampleConfig())
+                opt = optax.adamw(1e-4)
+                state = init_state(model, jax.random.key(0), batch, opt)
+                step = make_train_step(model, opt)
+
+                @jax.jit
+                def steps(state, batch, n_dummy):
+                    def body(s, _):
+                        s2, loss = step(s, batch)
+                        return s2, loss
+                    s, losses = jax.lax.scan(body, state, n_dummy)
+                    return s, losses.sum()
+
+                R = 8
+                dummy = jax.numpy.zeros(R)
+                s2, loss = steps(state, batch, dummy)
+                jax.block_until_ready(s2.params)
+                total = min(_timeit(lambda: float(steps(state, batch, dummy)[1]))
+                            for _ in range(3))
+                print(json.dumps({
+                    "config": f"train_B{B}_L{L}_{dtype}_mg{int(mg)}",
+                    "loss8": round(float(loss), 8),
+                    "step_s": round(max(total - floor, 1e-9) / R, 5)}),
+                    flush=True)
+
+
 def bench_esm():
     """ESM-2 embedding extraction on-device: 650M-shaped encoder, random
     weights (identical FLOP/byte profile to converted weights), bf16 MXU
@@ -262,4 +311,5 @@ def bench_esm():
 if __name__ == "__main__":
     suite = sys.argv[1] if len(sys.argv) > 1 else "sampler"
     {"sampler": bench_sampler, "train": bench_train,
-     "train_fused": bench_train_fused, "esm": bench_esm}[suite]()
+     "train_fused": bench_train_fused, "train_mg": bench_train_mg,
+     "esm": bench_esm}[suite]()
