@@ -56,6 +56,42 @@ def test_pallas_kernel_perturbed_chis(brs_batch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3, rtol=1e-3)
 
 
+def test_pallas_spatial_sort_parity(brs_batch):
+    """Morton-sorted path (spatial_sort=True): same values AND gradients as
+    the unsorted kernel — culling + permutation must be value-neutral."""
+    import jax
+
+    from packppi_tpu.ops.pallas_clash import between_residue_clash_diff
+
+    b = brs_batch
+    radius = jnp.asarray(CHEM.vdw_radius_atom14)[b.residue_type] * b.atom_mask
+    pos = jnp.asarray(b.X)
+    ex = jnp.asarray(b.atom_mask)
+    ridx = jnp.asarray(b.residue_index)
+
+    # small blk so the fixture spans MANY tiles and culling really bites
+    v_ref = between_residue_clash_pallas(pos, ex, radius, ridx, tol_soft=0.5,
+                                         blk=256, interpret=True,
+                                         spatial_sort=False)
+    v_got = between_residue_clash_pallas(pos, ex, radius, ridx, tol_soft=0.5,
+                                         blk=256, interpret=True,
+                                         spatial_sort=True)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(p, sort):
+        out = between_residue_clash_diff(p, ex, radius, ridx, tol_soft=0.5,
+                                         blk=256, interpret=True,
+                                         spatial_sort=sort)
+        return out.sum()
+
+    g_ref = jax.grad(lambda p: loss(p, False))(pos)
+    g_got = jax.grad(lambda p: loss(p, True))(pos)
+    assert float(jnp.abs(g_ref).sum()) > 1e-3
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_pallas_diff_gradient_parity(brs_batch):
     """custom-VJP kernel gradient == grad-through-scan gradient (positions)."""
     import jax
