@@ -77,6 +77,16 @@ class NetworkConfig:
     # gather/scatter-bound (PERF.md r4); gradients are the same sums up to
     # float reassociation.
     mxu_gather_grad: bool = False
+    # COALESCED neighbor gathers (geometry_mode="local" + fused messages
+    # only): the j-term and the local point planes share idx and the
+    # stream dtype, so each message pass gathers ONE [B, L, K, H+3P]
+    # block instead of two narrow ones. Values bit-identical (pure
+    # concat/split around the same gather, tested). NON-DEFAULT: measured
+    # SLOWER in context (T1124 pack 32.4 vs 29.7 ms local / 29.6 global —
+    # the concat+split materializes where two independent gathers overlap
+    # with compute), the same in-context reversal as the one-hot j-term
+    # gather (PERF.md "End-of-r4 sampler re-profile").
+    coalesce_gathers: bool = False
 
 
 class ChiScoreNetwork(nn.Module):
@@ -112,6 +122,7 @@ class ChiScoreNetwork(nn.Module):
             geometry_lanes=c.geometry_lanes,
             remat=c.remat_layers,
             mxu_gather_grad=c.mxu_gather_grad,
+            coalesce_gathers=c.coalesce_gathers,
             name="MessagePassingStack_0",
         )
         self.dec1 = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2, dtype=dtype, name="MLP_0")

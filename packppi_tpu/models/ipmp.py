@@ -328,6 +328,13 @@ class FactoredMessageMLP(nn.Module):
                            preferred_element_type=jnp.float32)
         return jnp.dot(x, kernel)
 
+    def per_j_term(self, h_V):
+        """The ungathered j-term [B, L, H] — exposed so a caller can gather
+        it COALESCED with other same-idx neighbor streams (one wide gather
+        instead of several narrow ones; see InvariantPointLayer's
+        ``coalesce_gathers``) and hand the result back via ``pjg``."""
+        return self._mm(h_V, self.Dense_j.kernel)
+
     def geom_fused(self, h_V, h_E, idx, p_local, frames, mask_attend=None,
                    pool: bool = False, interpret: bool = False):
         """Fused message path with IN-KERNEL geometry (ops.pallas_ipmp.
@@ -381,7 +388,7 @@ class FactoredMessageMLP(nn.Module):
 
     def __call__(self, h_V, h_E, idx, geom, mask_attend=None,
                  pool: bool = False, fused: bool = False,
-                 interpret: bool = False, blk: int = 128):
+                 interpret: bool = False, blk: int = 128, pjg=None):
         from packppi_tpu.models.layers import _ACTS
 
         per_i = self._mm(h_V, self.Dense_i.kernel)
@@ -400,8 +407,10 @@ class FactoredMessageMLP(nn.Module):
             # (f32 path: no-op cast). NOTE a one-hot-contraction gather
             # measured 2x faster standalone but 1.2x SLOWER in the full
             # graph (XLA schedules it differently in context) — keep the
-            # plain gather here.
-            pjg = gather_nodes(per_j.astype(h_E.dtype), idx)
+            # plain gather here. A caller may pass ``pjg`` pre-gathered
+            # (coalesced with the geometry stream, same dtype/values).
+            if pjg is None:
+                pjg = gather_nodes(per_j.astype(h_E.dtype), idx)
             mask = (mask_attend if mask_attend is not None
                     else jnp.ones(idx.shape, jnp.float32))
             cd = self.dtype or jnp.float32
@@ -424,7 +433,8 @@ class FactoredMessageMLP(nn.Module):
         per_e = self._mm(jnp.concatenate([h_E, geom.astype(h_E.dtype)], -1),
                          self.Dense_e.kernel) + self.Dense_e.bias
         g = gather_nodes_mg if self.mxu_gather_grad else gather_nodes
-        x = act(per_i[:, :, None] + g(per_j, idx) + per_e)
+        x = act(per_i[:, :, None]
+                + (pjg if pjg is not None else g(per_j, idx)) + per_e)
         x = act(self._mm(x, self.Dense_1.kernel) + self.Dense_1.bias)
         x = self._mm(x, self.Dense_2.kernel) + self.Dense_2.bias
         if pool:
@@ -445,6 +455,34 @@ class InvariantPointLayer(nn.Module):
     edge_dim: int = 128
     geometry_lanes: bool = False  # lane-major geometry (geometry_features_lanes)
     mxu_gather_grad: bool = False  # one-hot MXU gather backwards (training)
+    # gather the j-term and the local-geometry point planes as ONE wide
+    # [B, L, K, H+3P] gather per message pass instead of two narrow ones
+    # (same idx, same stream dtype -> concat/split is value-exact). Local
+    # geometry mode + fused messages only. NON-DEFAULT: measured slower
+    # in context (see NetworkConfig.coalesce_gathers).
+    coalesce_gathers: bool = False
+
+    def _geom_and_pjg(self, mlp, h_V, h_E, idx, frames, points_fn, rel, fused):
+        """Geometry features + (optionally) the coalesced pre-gathered
+        j-term for ``mlp``. Returns ``(geom, pjg_or_None)`` — with
+        coalescing active, both neighbor streams ride one gather and the
+        values are bit-identical to the two-gather path (pure concat/
+        split around the same take_along_axis)."""
+        coalesce = (self.coalesce_gathers and rel is not None and bool(fused)
+                    and not self.is_initializing()
+                    and jnp.dtype(self.dtype or jnp.float32) == h_E.dtype)
+        if not coalesce:
+            return self._geometry_features(h_V, idx, frames, points_fn, rel), None
+        B, L = idx.shape[:2]
+        H = self.hidden_dim
+        p_local = points_fn(h_V).reshape(B, L, self.n_points, 3)
+        pl_planes = jnp.concatenate([p_local[..., 0], p_local[..., 1],
+                                     p_local[..., 2]], -1)          # [B,L,3P]
+        both = jnp.concatenate([mlp.per_j_term(h_V).astype(h_E.dtype),
+                                pl_planes.astype(h_E.dtype)], -1)
+        gathered = gather_nodes(both, idx)                          # [B,L,K,H+3P]
+        geom = geometry_edge_features_local(p_local, gathered[..., H:], rel)
+        return geom, gathered[..., :H]
 
     def _geometry_features(self, h_V, idx, frames, points_fn, rel=None):
         """[B, L, K, 9*n_points] frame-invariant point features — see the
@@ -499,8 +537,10 @@ class InvariantPointLayer(nn.Module):
             msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw).geom_fused(
                 h_V, h_E, idx, p_local, frames, mask_attend, pool=True)
         else:
-            geom = self._geometry_features(h_V, idx, frames, points_node, rel)
-            msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)(
+            mlp0 = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)
+            geom, pjg = self._geom_and_pjg(mlp0, h_V, h_E, idx, frames,
+                                           points_node, rel, fused)
+            msg = mlp0(
                 h_V, h_E, idx, geom, mask_attend, pool=True,
                 # 'geom' with the local-rel cache active falls back to the
                 # STANDARD fused kernel over the precomputed features (the
@@ -509,7 +549,7 @@ class InvariantPointLayer(nn.Module):
                 # jvp: XLA's training fusion context leaves the custom call
                 # less scoped-VMEM headroom — blk=128 overflows the 16M
                 # stack by 128K at B4/L1024 (measured); 64 fits
-                blk=128 if deterministic else 64)
+                blk=128 if deterministic else 64, pjg=pjg)
 
         # LayerNorm promotes bf16 inputs to f32 (f32 scale/bias params), so
         # without the .astype(sd) casts the "bf16" streams silently flow f32
@@ -532,11 +572,13 @@ class InvariantPointLayer(nn.Module):
                 e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw).geom_fused(
                     h_V, h_E, idx, p_local, frames, mask_attend, pool=False)
             else:
-                geom = self._geometry_features(h_V, idx, frames, points_edge, rel)
-                e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)(
+                mlp2 = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)
+                geom, pjg = self._geom_and_pjg(mlp2, h_V, h_E, idx, frames,
+                                               points_edge, rel, fused)
+                e_msg = mlp2(
                     h_V, h_E, idx, geom, mask_attend, pool=False,
                     fused=bool(fused),
-                    blk=128 if deterministic else 64)
+                    blk=128 if deterministic else 64, pjg=pjg)
             # run the residual/LN/FFN chain on a flat [B, L*K, He] stream:
             # 4-D [B, L, K, He] dots push XLA:TPU into a convolution-style
             # emitter with layout-change copies around every FFN matmul,
@@ -621,6 +663,8 @@ class MessagePassingStack(nn.Module):
     # one-hot MXU gather backwards (gather_nodes_mg) on the message-stack
     # gathers — replaces the scatter-add transpose in training
     mxu_gather_grad: bool = False
+    # one wide j-term+geometry gather per message pass (local mode + fused)
+    coalesce_gathers: bool = False
 
     @staticmethod
     def attend_mask(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -665,6 +709,7 @@ class MessagePassingStack(nn.Module):
                     dtype=self.dtype, edge_dim=self.edge_dim,
                     geometry_lanes=self.geometry_lanes,
                     mxu_gather_grad=self.mxu_gather_grad,
+                    coalesce_gathers=self.coalesce_gathers,
                     # explicit name: the remat wrapper must bind the SAME
                     # param path the un-remat'd init created
                     name=f"InvariantPointLayer_{layer}",

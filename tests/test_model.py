@@ -597,3 +597,44 @@ def test_remat_layers_loss_and_grad_parity(small_batch):
     assert float(l0) == float(l1)
     for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+def test_coalesced_gathers_match_separate(small_batch):
+    """coalesce_gathers (one wide j-term+planes gather per message pass,
+    local mode + fused) is value-exact vs the two-gather path — it is a
+    pure concat/split around the same take_along_axis."""
+    from unittest import mock
+
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    from packppi_tpu.models.ipmp import FactoredMessageMLP
+
+    mk = lambda **kw: TorsionalDiffusion.create(
+        NC(geometry_mode="local", fused_messages=True, **kw), SampleConfig())
+    m_sep, m_co = mk(), mk(coalesce_gathers=True)
+    params = m_sep.init(jax.random.key(0), small_batch)
+    # identical param tree: coalescing is gather-layout-only
+    assert (jax.tree.structure(m_co.init(jax.random.key(0), small_batch))
+            == jax.tree.structure(params))
+    t = jnp.full(small_batch.residue_mask.shape, 0.3)
+
+    orig = FactoredMessageMLP.__call__
+
+    def patched(self, *args, **kw):
+        kw["interpret"] = True  # no TPU in tests
+        return orig(self, *args, **kw)
+
+    with mock.patch.object(FactoredMessageMLP, "__call__", patched):
+        s_sep, h_sep = m_sep.apply(params, small_batch, small_batch.SC_D, t)
+        s_co, h_co = m_co.apply(params, small_batch, small_batch.SC_D, t)
+    np.testing.assert_array_equal(np.asarray(s_co), np.asarray(s_sep))
+    np.testing.assert_array_equal(np.asarray(h_co), np.asarray(h_sep))
+
+    # bf16 streams (the production sampler config for this knob)
+    mkb = lambda **kw: TorsionalDiffusion.create(
+        NC(geometry_mode="local", fused_messages=True,
+           compute_dtype="bfloat16", **kw), SampleConfig())
+    m_bs, m_bc = mkb(), mkb(coalesce_gathers=True)
+    with mock.patch.object(FactoredMessageMLP, "__call__", patched):
+        s_bs, _ = m_bs.apply(params, small_batch, small_batch.SC_D, t)
+        s_bc, _ = m_bc.apply(params, small_batch, small_batch.SC_D, t)
+    np.testing.assert_array_equal(np.asarray(s_bc), np.asarray(s_bs))
