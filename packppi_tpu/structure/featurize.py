@@ -81,15 +81,30 @@ def sc_dihedrals(X: np.ndarray, aatype: np.ndarray):
 
 def apply_chain_residue_offsets(residue_index: np.ndarray, chain_indices: np.ndarray,
                                 gap: int = 100) -> np.ndarray:
-    """Cumulative inter-chain residue-index offsets (reference quirk preserved:
-    the running offset re-reads already-offset indices, so gaps compound;
-    reference: src/datamodules/components/complex_dataset.py:86-92)."""
+    """Inter-chain residue-index offsets: each chain is shifted past the
+    previous chain's maximum plus a ``gap``-residue buffer.
+
+    INTENTIONAL DELTA from the reference
+    (src/datamodules/components/complex_dataset.py:86-92): the reference's
+    running offset re-reads already-offset indices, so gaps COMPOUND —
+    offsets double per chain and a 24-chain complex overflows int32
+    (measured 4.2e9 -> negative indices after the device cast) and exceeds
+    f32's 2^24 integer-exact range (which silently broke the clash
+    kernel's <, ==, and +1 residue-index tests on chains >= 17). Offsets
+    here accumulate the ORIGINAL per-chain maxima instead: bit-identical
+    for <= 2 chains (every golden fixture), and observationally identical
+    beyond that — every consumer sees only clipped relative offsets
+    (encoder._relpos clips at +-32 << gap), +1 adjacency (bb_dihedrals,
+    peptide-bond exemptions; intra-chain, unchanged), or order (clash
+    upper-triangle; preserved). Max index is now bounded by
+    sum(per-chain max) + gap * n_chains, int32/f32-safe past 100k
+    residues. Documented in PARITY.md "Known quirks"."""
+    orig = residue_index
     residue_index = residue_index.copy()
     uniq = np.unique(chain_indices)
     offset = 0
     for k in uniq[:-1]:
-        offset += residue_index[chain_indices == k].max()
-        offset += gap
+        offset += orig[chain_indices == k].max() + gap
         residue_index[chain_indices == k + 1] += offset
     return residue_index
 
@@ -109,6 +124,12 @@ def featurize(protein: Protein) -> dict[str, np.ndarray]:
 
     if len(order) > 1:
         residue_index = apply_chain_residue_offsets(residue_index, chain_indices)
+    if np.abs(residue_index).max() >= 2**24:
+        # the clash kernels carry residue indices in f32 metadata (exact
+        # integers only below 2^24) and devices are int32-only
+        raise ValueError(
+            f"residue_index max {residue_index.max()} exceeds the 2^24 "
+            "integer-exact f32 range (pathological input numbering?)")
 
     residue_mask = np.isfinite(X[:, :4].sum(axis=(-1, -2))).astype(np.float32)
 
@@ -126,7 +147,10 @@ def featurize(protein: Protein) -> dict[str, np.ndarray]:
         "atom_mask": atom_mask * rm[:, None],
         "residue_type": (residue_type * rm).astype(np.int64),
         "residue_mask": rm,
-        "residue_index": (residue_index * rm).astype(np.int64),
+        # int32: devices have no int64 (jnp silently wraps an int64 input —
+        # the original compounding offsets DID overflow at 24 chains); the
+        # non-compounding offsets above keep the max far inside int32/f32
+        "residue_index": (residue_index * rm).astype(np.int32),
         "chain_indices": (chain_indices * rm).astype(np.int64),
         "BB_D": BB_D * rm[:, None],
         "BB_D_sincos": BB_D_sincos * rm[:, None, None],

@@ -89,3 +89,60 @@ def test_proximal_supports_batches(t1124):
     res = proximal_optimize(batch, bad, num_steps=5)
     assert res.SC_D.shape == batch.SC_D.shape
     assert float(res.losses[-1]) < float(res.losses[0])
+
+
+def test_many_chain_residue_offsets_bounded_and_kernel_exact():
+    """Regression for the compounding chain-offset overflow: the reference's
+    offset quirk doubled per chain (24 chains -> 4.2e9 -> int32 wrap on
+    device, f32-inexact in the Pallas kernel metadata, which silently
+    dropped ~10% of the 8k fixture's clash loss on chains >= 17). Offsets
+    now accumulate ORIGINAL per-chain maxima: a 26-chain complex stays far
+    inside the 2^24 f32-exact range and the Pallas kernel matches the scan
+    oracle exactly (featurize.apply_chain_residue_offsets)."""
+    import string
+
+    from packppi_tpu.chem import CHEM
+    from packppi_tpu.ops.clash import between_residue_clash
+    from packppi_tpu.ops.pallas_clash import between_residue_clash_pallas
+    from packppi_tpu.structure.protein import Protein
+
+    rng = np.random.default_rng(0)
+    n_chains, per = 26, 6
+    L = n_chains * per
+    # poly-GLY backbones on a jittered grid: chains overlap enough to clash
+    pos = np.zeros((L, 14, 3), np.float32)
+    base = rng.uniform(0, 14.0, (n_chains, 3)).astype(np.float32)
+    for c in range(n_chains):
+        for r in range(per):
+            o = base[c] + np.array([3.4 * r, 0, 0], np.float32)
+            pos[c * per + r, 0] = o                       # N
+            pos[c * per + r, 1] = o + [1.46, 0, 0]        # CA
+            pos[c * per + r, 2] = o + [2.0, 1.2, 0]       # C
+            pos[c * per + r, 3] = o + [2.1, 2.2, 0.8]     # O
+            pos[c * per + r, 4] = o + [1.5, -1.3, 0.6]    # CB (clash carrier:
+            # backbone-backbone pairs are exempt by construction)
+    mask = np.zeros((L, 14), np.float32)
+    mask[:, :5] = 1.0
+    prot = Protein(
+        atom_positions=pos,
+        aaindex=np.full(L, 0, np.int64),                  # ALA (has CB)
+        atom_mask=mask,
+        residue_index=np.tile(np.arange(1, per + 1), n_chains).astype(np.int64),
+        chain_id=np.repeat(list(string.ascii_uppercase[:n_chains]), per),
+        b_factors=np.zeros((L, 14), np.float32),
+    )
+    f = featurize(prot)
+    assert f["residue_index"].max() < 2**24
+    assert f["residue_index"].dtype == np.int32
+    b = stack_batch([f], target_len=L)
+
+    radius = jnp.asarray(CHEM.vdw_radius_atom14)[b.residue_type] * b.atom_mask
+    ref = between_residue_clash(jnp.asarray(b.X), jnp.asarray(b.atom_mask),
+                                radius, jnp.asarray(b.residue_index),
+                                tol_soft=0.5, block=32)["per_atom_loss_sum"]
+    got = between_residue_clash_pallas(jnp.asarray(b.X), jnp.asarray(b.atom_mask),
+                                       radius, jnp.asarray(b.residue_index),
+                                       tol_soft=0.5, blk=256, interpret=True)
+    assert float(jnp.asarray(ref).sum()) > 0.1  # chains really clash
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
