@@ -56,9 +56,12 @@ def main() -> None:
     batch = stack_batch([feats])
 
     # bf16 message/FFN compute (geometry stays f32) + fused Pallas message
-    # kernel: measured 56ms (f32) -> 48ms (bf16) -> 45.5ms (fused) on v5e
+    # kernel: measured 56ms (f32) -> 48ms (bf16) -> 45.5ms (fused) on v5e;
+    # fused_chain (single-Pallas-pass residual/LN/FFN chains) measured
+    # 29.4 -> 23.1 ms (PERF.md "Fused post-message chains")
     model = TorsionalDiffusion.create(
-        NetworkConfig(compute_dtype="bfloat16", fused_messages=True), SampleConfig())
+        NetworkConfig(compute_dtype="bfloat16", fused_messages=True,
+                      fused_chain=True), SampleConfig())
     params = model.init(jax.random.key(0), batch)
 
     def pack(params, key, batch):

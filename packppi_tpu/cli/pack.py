@@ -92,6 +92,7 @@ def run(args) -> dict:
     # the fused Pallas kernel is TPU-only; fall back transparently elsewhere
     fused = not args.no_fused and jax.default_backend().startswith(("tpu", "axon"))
     net_cfg = NetworkConfig(compute_dtype=args.precision, fused_messages=fused,
+                            fused_chain=fused,
                             geometry_mode=getattr(args, "geometry", "global"))
     model = TorsionalDiffusion.create(net_cfg, SampleConfig())
     key = jax.random.key(args.seed)
@@ -233,7 +234,7 @@ def run_directory(args) -> list:
     fused = (not getattr(args, "no_fused", False)
              and jax.default_backend().startswith(("tpu", "axon")))
     net_cfg = NetworkConfig(compute_dtype=getattr(args, "precision", "bfloat16"),
-                            fused_messages=fused,
+                            fused_messages=fused, fused_chain=fused,
                             geometry_mode=getattr(args, "geometry", "global"))
     model = TorsionalDiffusion.create(net_cfg, SampleConfig())
     key = jax.random.key(args.seed)

@@ -97,6 +97,7 @@ class PackSession:
         fused = (not getattr(args, "no_fused", False)
                  and jax.default_backend().startswith(("tpu", "axon")))
         net_cfg = NetworkConfig(compute_dtype=args.precision, fused_messages=fused,
+                                fused_chain=fused,
                                 geometry_mode=getattr(args, "geometry", "global"))
         self.model = TorsionalDiffusion.create(net_cfg, SampleConfig())
         self._key = jax.random.key(args.seed)

@@ -87,6 +87,16 @@ class NetworkConfig:
     # with compute), the same in-context reversal as the one-hot j-term
     # gather (PERF.md "End-of-r4 sampler re-profile").
     coalesce_gathers: bool = False
+    # run each post-message residual->LN->FFN->LN chain as ONE Pallas pass
+    # (ops.pallas_layer.fused_chain): the [rows, H] stream is read/written
+    # once and the [rows, 4H] FFN hidden never touches HBM — targets the
+    # ops the end-of-r4 re-profile charged at ~20x (LN) / ~3x (FFN) their
+    # traffic floor. Inference only (dropout must be off); row-local math,
+    # so it composes with any gather/geometry mode. Unlike fused_layers
+    # (whole-layer Mosaic pass, rejected — it TOOK OVER the message matmuls
+    # and lane-starved geometry), this kernel leaves messages/gathers to
+    # XLA and fuses only the op-granularity-bound tail.
+    fused_chain: bool = False
 
 
 class ChiScoreNetwork(nn.Module):
@@ -123,6 +133,7 @@ class ChiScoreNetwork(nn.Module):
             remat=c.remat_layers,
             mxu_gather_grad=c.mxu_gather_grad,
             coalesce_gathers=c.coalesce_gathers,
+            fused_chain=c.fused_chain,
             name="MessagePassingStack_0",
         )
         self.dec1 = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2, dtype=dtype, name="MLP_0")

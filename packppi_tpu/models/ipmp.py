@@ -461,6 +461,10 @@ class InvariantPointLayer(nn.Module):
     # geometry mode + fused messages only. NON-DEFAULT: measured slower
     # in context (see NetworkConfig.coalesce_gathers).
     coalesce_gathers: bool = False
+    # run the post-message residual->LN->FFN->LN chains through ONE Pallas
+    # pass each (ops.pallas_layer.fused_chain) instead of 6-8 XLA ops —
+    # inference only (see NetworkConfig.fused_chain)
+    fused_chain: bool = False
 
     def _geom_and_pjg(self, mlp, h_V, h_E, idx, frames, points_fn, rel, fused):
         """Geometry features + (optionally) the coalesced pre-gathered
@@ -557,13 +561,26 @@ class InvariantPointLayer(nn.Module):
         # matmul and mask multiply. Values are unchanged vs casting at the
         # next consumer; the f32 path is a no-op.
         sd = h_V.dtype
+        # one Pallas pass per chain instead of 6-8 XLA ops; inference only
+        # (dropout must be off). Both chains gate together so the unfused
+        # path's LayerNorm auto-names (0..3) always line up with init's.
+        use_fc = (self.fused_chain and deterministic
+                  and not self.is_initializing())
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        h_V = nn.LayerNorm()(h_V + drop(msg.astype(sd))).astype(sd)
-        h_V = nn.LayerNorm()(h_V + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype, name="MLP_1")(h_V).astype(sd))).astype(sd)
-        if mask_V is not None:
-            # mask in the stream dtype: a f32 mask would likewise promote
-            # the stream (0/1 masks are exact in bf16)
-            h_V = h_V * mask_V[..., None].astype(sd)
+        if use_fc:
+            from packppi_tpu.ops.pallas_layer import apply_fused_chain
+            fc_params = self.variables["params"]
+            h_V = apply_fused_chain(
+                fc_params, "LayerNorm_0", "MLP_1", "LayerNorm_1",
+                h_V, msg, mask_V, act=self.act, compute_dtype=self.dtype,
+                pre_mask=False)
+        else:
+            h_V = nn.LayerNorm()(h_V + drop(msg.astype(sd))).astype(sd)
+            h_V = nn.LayerNorm()(h_V + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype, name="MLP_1")(h_V).astype(sd))).astype(sd)
+            if mask_V is not None:
+                # mask in the stream dtype: a f32 mask would likewise promote
+                # the stream (0/1 masks are exact in bf16)
+                h_V = h_V * mask_V[..., None].astype(sd)
 
         if self.edge_update and do_edge_update:
             points_edge = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
@@ -579,23 +596,31 @@ class InvariantPointLayer(nn.Module):
                     h_V, h_E, idx, geom, mask_attend, pool=False,
                     fused=bool(fused),
                     blk=128 if deterministic else 64, pjg=pjg)
-            # run the residual/LN/FFN chain on a flat [B, L*K, He] stream:
-            # 4-D [B, L, K, He] dots push XLA:TPU into a convolution-style
-            # emitter with layout-change copies around every FFN matmul,
-            # and the LN reductions iterate the 4-D domain (profiled at
-            # ~2x the cost of the identical flat chain). Reshapes are
-            # contiguous (free); values and the param tree are unchanged.
-            B, L, K, He = h_E.shape
-            se = h_E.dtype
-            h_E = h_E.reshape(B, L * K, He)
-            e_msg = e_msg.reshape(B, L * K, He)
-            if mask_attend is not None:
-                e_msg = e_msg * mask_attend.reshape(B, L * K, 1).astype(e_msg.dtype)
-            h_E = nn.LayerNorm()(h_E + drop(e_msg.astype(se))).astype(se)
-            h_E = nn.LayerNorm()(h_E + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype, name="MLP_3")(h_E).astype(se))).astype(se)
-            if mask_attend is not None:
-                h_E = h_E * mask_attend.reshape(B, L * K, 1).astype(se)
-            h_E = h_E.reshape(B, L, K, He)
+            if use_fc:
+                from packppi_tpu.ops.pallas_layer import apply_fused_chain
+                h_E = apply_fused_chain(
+                    self.variables["params"],
+                    "LayerNorm_2", "MLP_3", "LayerNorm_3",
+                    h_E, e_msg, mask_attend, act=self.act,
+                    compute_dtype=self.dtype, pre_mask=True)
+            else:
+                # run the residual/LN/FFN chain on a flat [B, L*K, He] stream:
+                # 4-D [B, L, K, He] dots push XLA:TPU into a convolution-style
+                # emitter with layout-change copies around every FFN matmul,
+                # and the LN reductions iterate the 4-D domain (profiled at
+                # ~2x the cost of the identical flat chain). Reshapes are
+                # contiguous (free); values and the param tree are unchanged.
+                B, L, K, He = h_E.shape
+                se = h_E.dtype
+                h_E = h_E.reshape(B, L * K, He)
+                e_msg = e_msg.reshape(B, L * K, He)
+                if mask_attend is not None:
+                    e_msg = e_msg * mask_attend.reshape(B, L * K, 1).astype(e_msg.dtype)
+                h_E = nn.LayerNorm()(h_E + drop(e_msg.astype(se))).astype(se)
+                h_E = nn.LayerNorm()(h_E + drop(MLP(self.hidden_dim * 4, self.hidden_dim, 2, act=self.act, dtype=self.dtype, name="MLP_3")(h_E).astype(se))).astype(se)
+                if mask_attend is not None:
+                    h_E = h_E * mask_attend.reshape(B, L * K, 1).astype(se)
+                h_E = h_E.reshape(B, L, K, He)
 
         return h_V, h_E
 
@@ -665,6 +690,8 @@ class MessagePassingStack(nn.Module):
     mxu_gather_grad: bool = False
     # one wide j-term+geometry gather per message pass (local mode + fused)
     coalesce_gathers: bool = False
+    # single-Pallas-pass post-message chains (inference; see NetworkConfig)
+    fused_chain: bool = False
 
     @staticmethod
     def attend_mask(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -710,6 +737,7 @@ class MessagePassingStack(nn.Module):
                     geometry_lanes=self.geometry_lanes,
                     mxu_gather_grad=self.mxu_gather_grad,
                     coalesce_gathers=self.coalesce_gathers,
+                    fused_chain=self.fused_chain,
                     # explicit name: the remat wrapper must bind the SAME
                     # param path the un-remat'd init created
                     name=f"InvariantPointLayer_{layer}",

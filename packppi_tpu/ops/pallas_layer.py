@@ -59,6 +59,133 @@ def _ln(x, scale, bias):
     return (x - m) * jax.lax.rsqrt(jnp.maximum(v, 0.0) + _LN_EPS) * scale + bias
 
 
+def _chain_kernel(x_ref, msg_ref, mask_ref,
+                  lna_s_ref, lna_b_ref, f1_ref, f1b_ref, f2_ref, f2b_ref,
+                  lnb_s_ref, lnb_b_ref, out_ref, *, act_name, compute_dtype,
+                  pre_mask: bool, use_mask: bool):
+    """Post-message chain of one IPMP residual block, row-local:
+
+        [msg *= mask]  (edge chains mask the message before the residual)
+        x = LN(x + msg) -> x = LN(x + FFN(x)) -> [x *= mask]
+
+    Stream dtype = ``x_ref.dtype`` (bf16 on the inference path); LN math in
+    f32 with roundings at every point the unfused flax chain rounds (same
+    ``rnd`` convention as ``_node_kernel``/``_edge_kernel`` above, which is
+    parity-tested against the flax path)."""
+    act = _act(act_name)
+    cd = compute_dtype
+    sd = x_ref.dtype
+    f32 = jnp.float32
+    rnd = lambda v: v.astype(sd).astype(f32)
+
+    m = msg_ref[...]
+    if use_mask and pre_mask:
+        m = m * mask_ref[...].astype(m.dtype)
+    # the unfused residual adds in the stream dtype (both operands sd)
+    x0 = (x_ref[...] + m.astype(sd)).astype(f32)
+    x = rnd(_ln(x0, lna_s_ref[...], lna_b_ref[...]))
+    # HIGHEST on the f32 path only: Mosaic's DEFAULT-precision pass rounds
+    # f32 operands to bf16; HIGHEST makes the kernel's FFN dots exact f32.
+    # (A ~1e-2 on-chip diff vs the UNFUSED f32 chain remains — that is the
+    # unfused flax Dense's own default-precision rounding, the same
+    # bf16-noise-scale delta the accepted fused_layers path carries;
+    # interpret-mode f32 parity is exact to 3e-5, tests/test_model.py.)
+    # bf16 operands must keep the default — Mosaic rejects an fp32-precision
+    # contract on bf16 vectors ("Bad lhs type").
+    hp = (jax.lax.Precision.HIGHEST
+          if jnp.dtype(cd) == jnp.float32 else None)
+    h = rnd(act(rnd(jnp.dot(x.astype(cd), f1_ref[...].astype(cd),
+                            preferred_element_type=f32, precision=hp)
+                    + f1b_ref[...])))
+    h = rnd(jnp.dot(h.astype(cd), f2_ref[...].astype(cd),
+                    preferred_element_type=f32, precision=hp) + f2b_ref[...])
+    y = _ln(x + h, lnb_s_ref[...], lnb_b_ref[...])
+    if use_mask:
+        y = y * mask_ref[...]
+    out_ref[...] = y.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act_name", "compute_dtype", "pre_mask", "interpret"))
+def fused_chain(x, msg, mask,
+                lna_scale, lna_bias, f1, f1b, f2, f2b, lnb_scale, lnb_bias,
+                act_name: str = "relu", compute_dtype=jnp.float32,
+                pre_mask: bool = False, interpret: bool | None = None):
+    """Fused residual->LN->FFN->LN chain over flat [N, H] rows.
+
+    Replaces the 6-8 XLA ops after each message pass (residual adds, two
+    LayerNorms, the 4H FFN matmuls, mask multiplies) with ONE Pallas pass:
+    the [N, H] stream is read once and written once, and the [N, 4H] FFN
+    hidden never touches HBM. Row-local math, so node ([B*L, H]) and edge
+    ([B*L*K, H]) chains share the kernel and batches are flattened into N.
+
+    Args:
+        x: [N, H] stream (node h_V or edge h_E rows), stream dtype.
+        msg: [N, H] message output (f32 from the pooled node kernel, stream
+            dtype from the edge kernel — cast to the stream dtype in-kernel,
+            matching the unfused ``msg.astype(sd)``).
+        mask: [N, 1] f32 0/1 validity, or None (no masking).
+        pre_mask: also mask ``msg`` before the residual (edge chains).
+    Returns [N, H] in the stream dtype.
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    N, H = x.shape
+    use_mask = mask is not None
+    if mask is None:
+        mask = jnp.ones((1, 1), jnp.float32)  # placeholder operand (unread)
+    blk = 1024 if N % 1024 == 0 else 256
+    N_pad = -(-N // blk) * blk
+
+    def pad_rows(a, rows):
+        return jnp.pad(a, [(0, rows - a.shape[0]), (0, 0)])
+
+    x_p = pad_rows(x, N_pad)
+    msg_p = pad_rows(msg, N_pad)
+    mask_p = pad_rows(mask.astype(jnp.float32), N_pad) if use_mask else mask
+
+    blkspec = lambda cols: pl.BlockSpec((blk, cols), lambda r: (r, 0),
+                                        memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_chain_kernel, act_name=act_name,
+                          compute_dtype=compute_dtype, pre_mask=pre_mask,
+                          use_mask=use_mask),
+        grid=(N_pad // blk,),
+        in_specs=[blkspec(H), blkspec(H),
+                  blkspec(1) if use_mask else full()] + [full()] * 8,
+        out_specs=blkspec(H),
+        out_shape=jax.ShapeDtypeStruct((N_pad, H), x.dtype),
+        interpret=interpret,
+    )(x_p, msg_p, mask_p,
+      _row(lna_scale.astype(jnp.float32)), _row(lna_bias.astype(jnp.float32)),
+      f1.astype(jnp.float32), _row(f1b.astype(jnp.float32)),
+      f2.astype(jnp.float32), _row(f2b.astype(jnp.float32)),
+      _row(lnb_scale.astype(jnp.float32)), _row(lnb_bias.astype(jnp.float32)))
+    return out[:N]
+
+
+def apply_fused_chain(params, ln_a: str, mlp: str, ln_b: str, x, msg, mask,
+                      *, act: str, compute_dtype, pre_mask: bool):
+    """``fused_chain`` over a batched stream: flattens [B, ..., H] rows,
+    reads the LayerNorm/FFN weights from the layer's raw param subtree
+    (flax auto-names: LayerNorm_0/MLP_1/LayerNorm_1 node chain,
+    LayerNorm_2/MLP_3/LayerNorm_3 edge chain)."""
+    H = x.shape[-1]
+    lnA, m, lnB = params[ln_a], params[mlp], params[ln_b]
+    out = fused_chain(
+        x.reshape(-1, H), msg.reshape(-1, H),
+        None if mask is None else mask.reshape(-1, 1),
+        lnA["scale"], lnA["bias"],
+        m["Dense_0"]["kernel"], m["Dense_0"]["bias"],
+        m["Dense_1"]["kernel"], m["Dense_1"]["bias"],
+        lnB["scale"], lnB["bias"],
+        act_name=act, compute_dtype=compute_dtype or jnp.float32,
+        pre_mask=pre_mask)
+    return out.reshape(x.shape)
+
+
 def _message(per_i, pjg, he, geom, w_he, w_g, b_e, w1, b1, w2, b2,
              *, K, act, cd):
     """relu(per_i + per_j + [h_E|geom] @ W + b) -> relu(@W1+b1) -> @W2+b2.

@@ -58,6 +58,7 @@ _SMOKE = {
     "test_masked_knn_blocked_matches_dense",    # linear-memory kNN (r4)
     "test_geometry_features_lanes_matches_planes",  # lane-major geometry (r4)
     "test_metric_logger_wandb_backend",         # logger backends (r4)
+    "test_fused_chain_matches_unfused",         # fused post-message chains (r4)
 }
 
 

@@ -270,6 +270,38 @@ def test_fused_layers_skip_last_edge_update(small_batch):
     np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=3e-5)
 
 
+def test_fused_chain_matches_unfused(small_batch):
+    """The single-Pallas-pass post-message chains (fused_chain: residual ->
+    LN -> FFN -> LN [-> mask], interpret mode on CPU) must match the unfused
+    flax chains through the full network, in f32 and with the bf16 stream."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    import packppi_tpu.ops.pallas_layer as pallas_layer
+
+    t = jnp.full(small_batch.residue_mask.shape, 0.3)
+    # bf16 tolerance is single-ulp rounding-order noise on O(4) stream
+    # values (the kernel adds residuals in f32-of-rounded-values where the
+    # flax chain adds in bf16; measured max 0.031 on this fixture)
+    for dtype, atol in (("float32", 3e-5), ("bfloat16", 6e-2)):
+        model_f = TorsionalDiffusion.create(
+            NC(compute_dtype=dtype, fused_chain=True), SampleConfig())
+        model_u = TorsionalDiffusion.create(
+            NC(compute_dtype=dtype), SampleConfig())
+        params = model_u.init(jax.random.key(0), small_batch)
+
+        s_u, h_u = model_u.apply(params, small_batch, small_batch.SC_D, t)
+
+        prev, pallas_layer.INTERPRET = pallas_layer.INTERPRET, True
+        try:
+            s_f, h_f = model_f.apply(params, small_batch, small_batch.SC_D, t)
+        finally:
+            pallas_layer.INTERPRET = prev
+
+        np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_u),
+                                   atol=atol, err_msg=dtype)
+        np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u),
+                                   atol=atol, err_msg=dtype)
+
+
 def test_skip_last_edge_update_is_exact(model, params, small_batch):
     """Skipping the final layer's (unconsumed) edge update must not change
     the network outputs."""

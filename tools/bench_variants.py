@@ -56,6 +56,9 @@ def bench_sampler():
     on_tpu = jax.default_backend().startswith(("tpu", "axon"))
     configs = [
         ("global_bf16_fused", NetworkConfig(compute_dtype="bfloat16", fused_messages=True)),
+        ("global_bf16_fused_chain", NetworkConfig(compute_dtype="bfloat16",
+                                                  fused_messages=True,
+                                                  fused_chain=True)),
         ("local_bf16_fused", NetworkConfig(compute_dtype="bfloat16", fused_messages=True,
                                            geometry_mode="local")),
         ("local_bf16_unfused", NetworkConfig(compute_dtype="bfloat16",
