@@ -61,6 +61,12 @@ def build_parser():
                    help="directory mode: compute the per-structure chi/clash "
                         "metric suite on a host thread pool (overlapped with "
                         "device work) and record it in summary.json")
+    p.add_argument("--no_strict_parity", action="store_true",
+                   help="score metrics WITHOUT the reference's quirks: chi "
+                        "accuracy on the periodicity-folded error (boundary-"
+                        "invariant, exact matches count) and atom_rmsd as a "
+                        "true RMSD (sqrt, masked denominator). Default keeps "
+                        "bit-parity with the reference definitions")
     return p
 
 
@@ -174,7 +180,9 @@ def run(args) -> dict:
         print("no side chain atoms in the input PDB; skipping metric calculation")
         metric = {}
     else:
-        metric = analysis.get_metric(args.input, str(out_pdb)) or {}
+        metric = analysis.get_metric(
+            args.input, str(out_pdb),
+            strict_parity=not getattr(args, "no_strict_parity", False)) or {}
     metric["sampling_seconds"] = t_sample
     if args.use_proximal:
         metric["proximal_seconds"] = t_prox
@@ -321,7 +329,10 @@ def run_directory(args) -> list:
                 rec["metrics"] = {"skipped": "no side chains in input"}
             else:
                 try:
-                    m = analysis.get_metric(str(path), str(out_path)) or {}
+                    m = analysis.get_metric(
+                        str(path), str(out_path),
+                        strict_parity=not getattr(args, "no_strict_parity",
+                                                  False)) or {}
                     rec["metrics"] = {k: (float(v) if isinstance(v, (int, float, np.floating))
                                           else v) for k, v in m.items()}
                 except Exception as e:  # metric failure must not void the write

@@ -39,6 +39,13 @@ def build_parser():
                    help="directory mode: skip the per-structure before/after "
                         "clashscores (host path; computed on a thread pool "
                         "overlapped with device work by default)")
+    p.add_argument("--no_strict_parity", action="store_true",
+                   help="when the optimization is REJECTED (objective did "
+                        "not decrease), write the raw input coordinates "
+                        "unchanged instead of the reference's re-idealized "
+                        "rebuild from the input chis (reference parity: "
+                        "src/proximal_optimize.py:50-55 rebuilds either way, "
+                        "so a 'rejected' output still differs from the input)")
     return p
 
 
@@ -79,18 +86,27 @@ def run(args) -> dict:
 
     accepted = float(res.losses[-1]) < float(res.losses[0])
     sc_final = res.SC_D if accepted else batch.SC_D
+    raw_on_reject = getattr(args, "no_strict_parity", False)
     if not accepted:
-        # NOTE the written structure is still REBUILT at ideal bond geometry
-        # from the input chis (reference parity: src/proximal_optimize.py:
-        # 50-55 runs get_atom14_coords on batch.SC_D either way), so its
-        # clashscore can differ from the raw input's
-        print("objective did not decrease; keeping input chi angles "
-              "(coordinates re-idealized, as in the reference)")
+        if raw_on_reject:
+            print("objective did not decrease; emitting the raw input "
+                  "structure unchanged (--no_strict_parity)")
+        else:
+            # NOTE the written structure is still REBUILT at ideal bond
+            # geometry from the input chis (reference parity:
+            # src/proximal_optimize.py:50-55 runs get_atom14_coords on
+            # batch.SC_D either way), so its clashscore can differ from the
+            # raw input's; --no_strict_parity opts out
+            print("objective did not decrease; keeping input chi angles "
+                  "(coordinates re-idealized, as in the reference)")
 
-    coords = jax.jit(lambda b, sc: atom14_coords_from_torsions(
-        b.X, b.residue_type, b.BB_D, sc))(batch, sc_final)
-    L = len(feats["residue_type"])
-    out_prot = _merge_output_structure(prot, feats, batch, coords, L)
+    if not accepted and raw_on_reject:
+        out_prot = prot  # the parsed input, coordinates untouched
+    else:
+        coords = jax.jit(lambda b, sc: atom14_coords_from_torsions(
+            b.X, b.residue_type, b.BB_D, sc))(batch, sc_final)
+        L = len(feats["residue_type"])
+        out_prot = _merge_output_structure(prot, feats, batch, coords, L)
     out_pdb = outdir / "structure.pdb"
     out_pdb.write_text(to_pdb(out_prot))
 
@@ -167,12 +183,17 @@ def run_directory(args) -> list:
 
     from types import SimpleNamespace
 
+    raw_on_reject = getattr(args, "no_strict_parity", False)
+
     def _write_one(i, coords_row, mask_row, accepted, l0, l1) -> dict:
         path, prot = proteins[i]
-        L = len(feats[i]["residue_type"])
-        out_prot = _merge_output_structure(
-            prot, feats[i], SimpleNamespace(atom_mask=mask_row[None]),
-            coords_row[None], L)
+        if raw_on_reject and not bool(accepted):
+            out_prot = prot  # the parsed input, coordinates untouched
+        else:
+            L = len(feats[i]["residue_type"])
+            out_prot = _merge_output_structure(
+                prot, feats[i], SimpleNamespace(atom_mask=mask_row[None]),
+                coords_row[None], L)
         out_path = outdir / path.name
         out_path.write_text(to_pdb(out_prot))
         rec = {"input": str(path), "output": str(out_path),

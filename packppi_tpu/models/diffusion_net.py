@@ -97,6 +97,13 @@ class NetworkConfig:
     # and lane-starved geometry), this kernel leaves messages/gathers to
     # XLA and fuses only the op-granularity-bound tail.
     fused_chain: bool = False
+    # opt-in: route the TRAINING chains through the differentiable fused
+    # chain too (ops.pallas_layer.fused_chain_diff — custom-VJP jnp-replay
+    # backward, the fused_message_diff pattern). Requires dropout=0.0: the
+    # kernel applies no dropout, so with dropout active the fused and
+    # unfused chains would compute different functions. Measured A/B in
+    # PERF.md ("Differentiable fused_chain in training").
+    fused_chain_train: bool = False
 
 
 class ChiScoreNetwork(nn.Module):
@@ -108,6 +115,12 @@ class ChiScoreNetwork(nn.Module):
             raise ValueError(
                 "geometry_mode='local' is incompatible with the global-point "
                 "kernels (fused_messages='geom' / fused_layers)")
+        if c.fused_chain_train and c.dropout != 0.0:
+            raise ValueError(
+                "fused_chain_train requires dropout=0.0: the fused chain "
+                "kernel applies no dropout, so with dropout active the "
+                "fused and unfused training paths would compute different "
+                "functions")
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         self.encoder = ProteinEncoder(
             node_features=c.node_features,
@@ -134,6 +147,7 @@ class ChiScoreNetwork(nn.Module):
             mxu_gather_grad=c.mxu_gather_grad,
             coalesce_gathers=c.coalesce_gathers,
             fused_chain=c.fused_chain,
+            fused_chain_train=c.fused_chain_train,
             name="MessagePassingStack_0",
         )
         self.dec1 = MLP(c.hidden_dim // 2, c.hidden_dim // 4, 2, dtype=dtype, name="MLP_0")

@@ -463,8 +463,13 @@ class InvariantPointLayer(nn.Module):
     coalesce_gathers: bool = False
     # run the post-message residual->LN->FFN->LN chains through ONE Pallas
     # pass each (ops.pallas_layer.fused_chain) instead of 6-8 XLA ops —
-    # inference only (see NetworkConfig.fused_chain)
+    # inference path (see NetworkConfig.fused_chain)
     fused_chain: bool = False
+    # ... and through the differentiable fused chain in TRAINING too
+    # (ops.pallas_layer.fused_chain_diff, custom-VJP jnp-replay backward).
+    # Only engages when dropout == 0.0 — the kernel applies no dropout
+    # (NetworkConfig validates the combination).
+    fused_chain_train: bool = False
 
     def _geom_and_pjg(self, mlp, h_V, h_E, idx, frames, points_fn, rel, fused):
         """Geometry features + (optionally) the coalesced pre-gathered
@@ -561,11 +566,15 @@ class InvariantPointLayer(nn.Module):
         # matmul and mask multiply. Values are unchanged vs casting at the
         # next consumer; the f32 path is a no-op.
         sd = h_V.dtype
-        # one Pallas pass per chain instead of 6-8 XLA ops; inference only
-        # (dropout must be off). Both chains gate together so the unfused
-        # path's LayerNorm auto-names (0..3) always line up with init's.
-        use_fc = (self.fused_chain and deterministic
-                  and not self.is_initializing())
+        # one Pallas pass per chain instead of 6-8 XLA ops. Both chains gate
+        # together so the unfused path's LayerNorm auto-names (0..3) always
+        # line up with init's. Training engages only via fused_chain_train
+        # AND dropout=0 (the kernel applies no dropout; fused_chain_diff's
+        # custom VJP makes the pass differentiable).
+        use_fc = (not self.is_initializing()
+                  and ((self.fused_chain and deterministic)
+                       or (self.fused_chain_train and not deterministic
+                           and self.dropout == 0.0)))
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
         if use_fc:
             from packppi_tpu.ops.pallas_layer import apply_fused_chain
@@ -692,6 +701,8 @@ class MessagePassingStack(nn.Module):
     coalesce_gathers: bool = False
     # single-Pallas-pass post-message chains (inference; see NetworkConfig)
     fused_chain: bool = False
+    # differentiable fused chains in training too (requires dropout=0.0)
+    fused_chain_train: bool = False
 
     @staticmethod
     def attend_mask(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -738,6 +749,7 @@ class MessagePassingStack(nn.Module):
                     mxu_gather_grad=self.mxu_gather_grad,
                     coalesce_gathers=self.coalesce_gathers,
                     fused_chain=self.fused_chain,
+                    fused_chain_train=self.fused_chain_train,
                     # explicit name: the remat wrapper must bind the SAME
                     # param path the un-remat'd init created
                     name=f"InvariantPointLayer_{layer}",

@@ -105,9 +105,6 @@ def _chain_kernel(x_ref, msg_ref, mask_ref,
     out_ref[...] = y.astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("act_name", "compute_dtype", "pre_mask", "interpret"))
 def fused_chain(x, msg, mask,
                 lna_scale, lna_bias, f1, f1b, f2, f2b, lnb_scale, lnb_bias,
                 act_name: str = "relu", compute_dtype=jnp.float32,
@@ -129,8 +126,25 @@ def fused_chain(x, msg, mask,
         pre_mask: also mask ``msg`` before the residual (edge chains).
     Returns [N, H] in the stream dtype.
     """
+    # resolve the module-global test hook OUTSIDE the jitted function (as
+    # fused_ipmp_layer does): resolving inside the trace baked the value at
+    # first trace into the jit cache, so later INTERPRET flips silently did
+    # not apply to already-cached (shape, statics) signatures
     if interpret is None:
         interpret = INTERPRET
+    return _fused_chain_jit(
+        x, msg, mask, lna_scale, lna_bias, f1, f1b, f2, f2b, lnb_scale,
+        lnb_bias, act_name=act_name, compute_dtype=compute_dtype,
+        pre_mask=pre_mask, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act_name", "compute_dtype", "pre_mask", "interpret"))
+def _fused_chain_jit(x, msg, mask,
+                     lna_scale, lna_bias, f1, f1b, f2, f2b, lnb_scale,
+                     lnb_bias, act_name: str, compute_dtype,
+                     pre_mask: bool, interpret: bool):
     N, H = x.shape
     use_mask = mask is not None
     if mask is None:
@@ -166,15 +180,105 @@ def fused_chain(x, msg, mask,
     return out[:N]
 
 
+def _chain_jnp(x, msg, mask, lna_s, lna_b, f1, f1b, f2, f2b, lnb_s, lnb_b,
+               *, act_name, compute_dtype, pre_mask, use_mask):
+    """jnp twin of ``_chain_kernel`` — identical math and cast points
+    (weights in f32 like the kernel call-site casts, activations cast to
+    ``compute_dtype`` before each MXU dot, f32 accumulation, the same
+    stream-dtype roundings). Used only to derive the backward pass of
+    ``fused_chain_diff``."""
+    act = _act(act_name)
+    cd = compute_dtype
+    sd = x.dtype
+    f32 = jnp.float32
+    rnd = lambda v: v.astype(sd).astype(f32)
+    w = lambda a: a.astype(f32)
+
+    m = msg
+    if use_mask and pre_mask:
+        m = m * mask.astype(m.dtype)
+    x0 = (x + m.astype(sd)).astype(f32)
+    xx = rnd(_ln(x0, w(lna_s), w(lna_b)))
+    hp = (jax.lax.Precision.HIGHEST
+          if jnp.dtype(cd) == jnp.float32 else None)
+    h = rnd(act(rnd(jnp.dot(xx.astype(cd), w(f1).astype(cd),
+                            preferred_element_type=f32, precision=hp)
+                    + w(f1b))))
+    h = rnd(jnp.dot(h.astype(cd), w(f2).astype(cd),
+                    preferred_element_type=f32, precision=hp) + w(f2b))
+    y = _ln(xx + h, w(lnb_s), w(lnb_b))
+    if use_mask:
+        y = y * mask.astype(f32)
+    return y.astype(sd)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_chain_diff(act_name: str, compute_dtype_name: str,
+                           pre_mask: bool, use_mask: bool, interpret: bool):
+    """Build (and cache per static config) the custom-VJP-wrapped chain:
+    Pallas kernel forward, rematerialized jnp backward (the
+    ``fused_message_diff`` pattern — the chain is cheap to replay and the
+    replay reuses XLA's own backward codegen, so training pays one extra
+    forward-chain instead of storing kernel intermediates)."""
+    cd = jnp.dtype(compute_dtype_name)
+    kw = dict(act_name=act_name, compute_dtype=cd, pre_mask=pre_mask)
+
+    def primal(x, msg, mask, lna_s, lna_b, f1, f1b, f2, f2b, lnb_s, lnb_b):
+        return fused_chain(x, msg, mask if use_mask else None,
+                           lna_s, lna_b, f1, f1b, f2, f2b, lnb_s, lnb_b,
+                           interpret=interpret, **kw)
+
+    @jax.custom_vjp
+    def f(x, msg, mask, lna_s, lna_b, f1, f1b, f2, f2b, lnb_s, lnb_b):
+        return primal(x, msg, mask, lna_s, lna_b, f1, f1b, f2, f2b,
+                      lnb_s, lnb_b)
+
+    def fwd(*args):
+        return primal(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda *a: _chain_jnp(*a, use_mask=use_mask, **kw),
+                         *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_chain_diff(x, msg, mask,
+                     lna_scale, lna_bias, f1, f1b, f2, f2b,
+                     lnb_scale, lnb_bias,
+                     act_name: str = "relu", compute_dtype=jnp.float32,
+                     pre_mask: bool = False, interpret: bool | None = None):
+    """``fused_chain`` with gradients (same signature/shapes): custom-VJP
+    forward = the Pallas kernel, backward = jnp replay of the identical
+    chain math. Without a grad trace this is exactly ``fused_chain``
+    (custom_vjp costs nothing on the primal path), so inference and
+    training share one entry point. Gradients flow to x, msg, and every
+    LayerNorm/FFN weight; dropout must be off (the kernel has none —
+    callers gate on ``dropout == 0`` for the training path)."""
+    if interpret is None:
+        interpret = INTERPRET
+    use_mask = mask is not None
+    if mask is None:
+        mask = jnp.ones((1, 1), jnp.float32)  # unread placeholder
+    f = _make_fused_chain_diff(act_name, jnp.dtype(compute_dtype).name,
+                               pre_mask, use_mask, interpret)
+    return f(x, msg, mask, lna_scale, lna_bias, f1, f1b, f2, f2b,
+             lnb_scale, lnb_bias)
+
+
 def apply_fused_chain(params, ln_a: str, mlp: str, ln_b: str, x, msg, mask,
                       *, act: str, compute_dtype, pre_mask: bool):
     """``fused_chain`` over a batched stream: flattens [B, ..., H] rows,
     reads the LayerNorm/FFN weights from the layer's raw param subtree
     (flax auto-names: LayerNorm_0/MLP_1/LayerNorm_1 node chain,
-    LayerNorm_2/MLP_3/LayerNorm_3 edge chain)."""
+    LayerNorm_2/MLP_3/LayerNorm_3 edge chain). Differentiable: routes
+    through ``fused_chain_diff`` (identical primal; the custom VJP only
+    engages under a grad trace)."""
     H = x.shape[-1]
     lnA, m, lnB = params[ln_a], params[mlp], params[ln_b]
-    out = fused_chain(
+    out = fused_chain_diff(
         x.reshape(-1, H), msg.reshape(-1, H),
         None if mask is None else mask.reshape(-1, 1),
         lnA["scale"], lnA["bias"],

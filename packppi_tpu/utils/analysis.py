@@ -56,9 +56,16 @@ class ProteinAnalysis:
 
     # ---- metric suite -------------------------------------------------------
 
-    def get_metric(self, true_pdb: str, pred_pdb: str) -> Optional[dict]:
+    def get_metric(self, true_pdb: str, pred_pdb: str,
+                   strict_parity: bool = True) -> Optional[dict]:
         """Full packing metric suite between an experimental structure and a
-        repacked prediction (chi acc/AE, interface acc, deviation, clash)."""
+        repacked prediction (chi acc/AE, interface acc, deviation, clash).
+
+        ``strict_parity=False`` opts out of the reference's metric quirks:
+        chi accuracy is scored on the periodicity-FOLDED error (boundary-
+        invariant, exact matches count) and ``atom_rmsd`` becomes a true
+        RMSD (sqrt, masked denominator). Default preserves bit-parity with
+        the reference (see utils.metrics docstrings for the quirk list)."""
         true_prot = from_pdb_file(true_pdb, mse_to_met=True)
         pred_prot = from_pdb_file(pred_pdb, mse_to_met=True)
         ft = featurize(true_prot)
@@ -69,7 +76,8 @@ class ProteinAnalysis:
 
         interface = interface_residue_mask(true_prot) * ft["residue_mask"]
         metric = chi_metrics(ft["SC_D"], fp["SC_D"], ft["SC_D_mask"],
-                             ft["chi_1pi_periodic_mask"], interface)
+                             ft["chi_1pi_periodic_mask"], interface,
+                             strict_parity=strict_parity)
 
         import contextlib
 
@@ -91,7 +99,8 @@ class ProteinAnalysis:
                 jnp.asarray(ft["X"]), jnp.asarray(ft["residue_type"]),
                 jnp.asarray(ft["BB_D"]), jnp.asarray(fp["SC_D"]))
         metric["atom_rmsd"] = mean_squared_atom_deviation(
-            ft["X"], np.asarray(pred_coords), ft["atom_mask"], ft["residue_mask"])
+            ft["X"], np.asarray(pred_coords), ft["atom_mask"],
+            ft["residue_mask"], strict_parity=strict_parity)
 
         clashscore = self.get_clashscore(pred_pdb)
         metric["clashscore"] = clashscore

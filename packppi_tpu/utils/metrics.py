@@ -29,11 +29,25 @@ def spearman(p: np.ndarray, y: np.ndarray) -> float:
 
 
 def chi_metrics(sc_true, sc_pred, sc_mask, pi_periodic_mask,
-                interface_mask=None, prefix: str = "chi"):
+                interface_mask=None, prefix: str = "chi",
+                strict_parity: bool = True):
     """Per-chi accuracy (<20 deg) and absolute error.
 
     Args: all [*, L, 4] except interface_mask [*, L].
     Returns dict of scalars (+ total_acc / interface_acc).
+
+    ``strict_parity=True`` (default) replicates the reference accuracy
+    bit-for-bit, including its two quirks (reference:
+    src/utils/protein_analysis.py:70-73): the raw UNFOLDED |pred - true| is
+    thresholded (so -3.13 vs +3.13 rad — a 1.5 deg error across the
+    periodic boundary — counts as wrong), and ``diff > 0`` excludes exact
+    matches (which doubles as the implicit padding mask: padded chis have
+    diff == 0). ``strict_parity=False`` scores the periodicity-FOLDED error
+    (the same fold the AE metric already uses, incl. the pi fold for
+    symmetric side chains) against the 20-deg threshold, counts exact
+    matches as correct, and masks padding explicitly — boundary- and
+    padding-invariant. AE is identical in both modes (it was always
+    folded).
     """
     sc_true = np.asarray(sc_true, np.float64)
     sc_pred = np.asarray(sc_pred, np.float64)
@@ -48,10 +62,14 @@ def chi_metrics(sc_true, sc_pred, sc_mask, pi_periodic_mask,
         n = sc_mask[..., i].sum()
         n = 1.0 if n == 0 else n
 
-        acc = ((diff * 180 / np.pi < 20) & (diff > 0)).astype(np.float64)
         ae = np.minimum(diff, 2 * np.pi - diff)
         ae_folded = np.minimum(ae, np.pi - ae)
         ae = np.where(pi_mask[..., i], ae_folded, ae)
+        if strict_parity:
+            acc = ((diff * 180 / np.pi < 20) & (diff > 0)).astype(np.float64)
+        else:
+            acc = (ae * 180 / np.pi < 20) * np.asarray(sc_mask[..., i],
+                                                       np.float64)
 
         out[f"{prefix}_{i}_ae_rad"] = ae.sum() / n
         out[f"{prefix}_{i}_ae_deg"] = ae.sum() / n * 180 / np.pi
@@ -71,12 +89,21 @@ def chi_metrics(sc_true, sc_pred, sc_mask, pi_periodic_mask,
 
 
 def mean_squared_atom_deviation(true_coords, pred_coords, atom_mask, residue_mask,
-                                eps: float = 1e-6):
-    """The reference's 'atom_rmsd': mean squared deviation over real atoms
-    (note: no square root — kept for comparability)."""
+                                eps: float = 1e-6, strict_parity: bool = True):
+    """The reference's 'atom_rmsd' (``strict_parity=True``, default): mean
+    squared deviation over real atoms with NO square root, and an eps added
+    per ELEMENT of the mask — the denominator grows with the padded tensor
+    size, so the value depends on the padding bucket (reference:
+    src/models/TorsionalDiffusion.py:303; quirks documented in PARITY.md).
+
+    ``strict_parity=False``: a true RMSD — sqrt of the squared deviation
+    averaged over exactly the real (masked) atoms; padding-invariant.
+    """
     m = np.asarray(atom_mask) * np.asarray(residue_mask)[..., None]
     sq = ((np.asarray(true_coords) - np.asarray(pred_coords)) ** 2).sum(-1) * m
-    return sq.sum() / (m + eps).sum()
+    if strict_parity:
+        return sq.sum() / (m + eps).sum()
+    return float(np.sqrt(sq.sum() / max(m.sum(), 1.0)))
 
 
 PROBE_RADII = {"C": 1.70, "N": 1.625, "O": 1.480, "S": 1.782, "P": 1.871}

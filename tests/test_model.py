@@ -302,6 +302,49 @@ def test_fused_chain_matches_unfused(small_batch):
                                    atol=atol, err_msg=dtype)
 
 
+def test_fused_chain_gradients_match_unfused(small_batch):
+    """Training-path gradients through the fused post-message chains
+    (fused_chain_train -> ops.pallas_layer.fused_chain_diff: kernel forward,
+    jnp-replay custom-VJP backward, interpret mode on CPU) must match the
+    unfused flax chains' gradients param-by-param. Runs at dropout=0.0 —
+    the only configuration the gate admits (the kernel applies no dropout;
+    NetworkConfig validates the combination)."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    import packppi_tpu.ops.pallas_layer as pallas_layer
+    import pytest
+
+    model_f = TorsionalDiffusion.create(
+        NC(dropout=0.0, fused_chain_train=True), SampleConfig())
+    model_u = TorsionalDiffusion.create(NC(dropout=0.0), SampleConfig())
+    params = model_u.init(jax.random.key(0), small_batch)
+    key = jax.random.key(7)
+
+    g_u = jax.grad(lambda p: model_u.loss(p, key, small_batch))(params)
+
+    prev, pallas_layer.INTERPRET = pallas_layer.INTERPRET, True
+    try:
+        g_f = jax.grad(lambda p: model_f.loss(p, key, small_batch))(params)
+    finally:
+        pallas_layer.INTERPRET = prev
+
+    flat_u = jax.tree_util.tree_leaves_with_path(g_u)
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_f)}
+    assert len(flat_u) == len(flat_f)
+    for k, v_u in flat_u:
+        v_f = flat_f[jax.tree_util.keystr(k)]
+        scale = max(float(jnp.abs(v_u).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(v_f), np.asarray(v_u), atol=5e-4 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
+
+    # the config contract: fused_chain_train with dropout active is an error
+    with pytest.raises(ValueError, match="dropout"):
+        TorsionalDiffusion.create(
+            NC(dropout=0.1, fused_chain_train=True), SampleConfig()
+        ).init(jax.random.key(0), small_batch)
+
+
 def test_skip_last_edge_update_is_exact(model, params, small_batch):
     """Skipping the final layer's (unconsumed) edge update must not change
     the network outputs."""
