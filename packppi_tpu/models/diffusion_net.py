@@ -34,9 +34,14 @@ class NetworkConfig:
     num_rbf: int = 16
     top_k: int = 32
     compute_dtype: str = "float32"  # "bfloat16" for the fast inference path
-    # Pallas fused message kernel (inference): False | True | "geom"
-    # ("geom" additionally computes the point-geometry features inside the
-    # kernel — the [B, L, K, 9P] feature tensor never touches HBM)
+    # Pallas fused message kernel (inference): False | True | "geom" |
+    # "geom_lanes". The "geom" variants additionally compute the
+    # point-geometry features inside the kernel — the [B, L, K, 9P] feature
+    # tensor never touches HBM. "geom" is the r3 AoS variant (rejected:
+    # lane-starved [blk, K, P] math, PERF.md); "geom_lanes" is the r5
+    # lane-major rework — every in-kernel geometry intermediate is a
+    # [rows, blk*K] tile at full 128-lane occupancy and the neighbor plane
+    # gather feeds the kernel lane-major.
     fused_messages: object = False
     # opt-in: route TRAINING through the differentiable fused kernel too
     # (ops.pallas_ipmp.fused_message_diff — custom-VJP remat backward).
@@ -75,8 +80,17 @@ class NetworkConfig:
     # blocked one-hot MXU contraction (ops.graph.gather_nodes_mg, custom
     # VJP; forward stays the plain row-gather). The train step is
     # gather/scatter-bound (PERF.md r4); gradients are the same sums up to
-    # float reassociation.
-    mxu_gather_grad: bool = False
+    # float reassociation. False | True | "auto" — "auto" (the trainer
+    # default) gates on the padded length at the measured crossover
+    # (ops.graph.resolve_mxu_gather_grad; r5 sweep in PERF.md): the
+    # contraction wins at small L and loses to the scatter at large L.
+    # Audited-but-manual knobs, for contrast: compute_dtype stays explicit
+    # (bf16 changes numerics — a policy must never silently alter training
+    # math), and remat_layers stays explicit (measured slower at every
+    # tested shape, PERF.md r4 — it is an OOM-avoidance knob whose need
+    # depends on device memory, not a latency crossover a shape gate can
+    # encode).
+    mxu_gather_grad: object = False
     # COALESCED neighbor gathers (geometry_mode="local" + fused messages
     # only): the j-term and the local point planes share idx and the
     # stream dtype, so each message pass gathers ONE [B, L, K, H+3P]
@@ -111,7 +125,8 @@ class ChiScoreNetwork(nn.Module):
 
     def setup(self):
         c = self.cfg
-        if c.geometry_mode == "local" and (c.fused_messages == "geom" or c.fused_layers):
+        if c.geometry_mode == "local" and (
+                c.fused_messages in ("geom", "geom_lanes") or c.fused_layers):
             raise ValueError(
                 "geometry_mode='local' is incompatible with the global-point "
                 "kernels (fused_messages='geom' / fused_layers)")

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from packppi_tpu.geometry.rigid import bb_frames_from_atom14, scale_translation
 from packppi_tpu.models.layers import MLP
-from packppi_tpu.ops.graph import gather_nodes, gather_nodes_mg
+from packppi_tpu.ops.graph import (gather_nodes, gather_nodes_mg,
+                                   resolve_mxu_gather_grad)
 
 
 
@@ -311,8 +312,10 @@ class FactoredMessageMLP(nn.Module):
     act: str = "relu"
     dtype: object = None
     # route the wide per-edge gathers through gather_nodes_mg (one-hot MXU
-    # backward instead of XLA's scatter-add transpose) — training knob
-    mxu_gather_grad: bool = False
+    # backward instead of XLA's scatter-add transpose) — training knob:
+    # False | True | "auto" (gate on L at the measured crossover,
+    # ops.graph.resolve_mxu_gather_grad)
+    mxu_gather_grad: object = False
 
     def setup(self):
         H = self.hidden_dim
@@ -334,6 +337,60 @@ class FactoredMessageMLP(nn.Module):
         instead of several narrow ones; see InvariantPointLayer's
         ``coalesce_gathers``) and hand the result back via ``pjg``."""
         return self._mm(h_V, self.Dense_j.kernel)
+
+    def geom_fused_lanes(self, h_V, h_E, idx, p_local, frames,
+                         mask_attend=None, pool: bool = False,
+                         interpret: bool = False):
+        """Fused message path with LANE-MAJOR in-kernel geometry
+        (ops.pallas_ipmp.fused_message_geom_lanes): like ``geom_fused`` the
+        [B, L, K, 9P] feature tensor never exists in HBM, but the in-kernel
+        feature math runs on [rows, blk*K] tiles (full 128-lane occupancy)
+        instead of the AoS variant's [blk, K, P=8] tiles — the layout fix
+        the end-of-r4 re-profile called for. The neighbor plane gather
+        happens OUTSIDE in lane-major form (take_along_axis on the
+        transposed planes), so its output feeds the kernel without a
+        layout change."""
+        from packppi_tpu.ops.pallas_ipmp import (_geom_weight_perm,
+                                                 build_node_stack,
+                                                 fused_message_geom_lanes)
+
+        B, L, P = p_local.shape[:3]
+        N = idx.shape[1] * idx.shape[2]
+        per_i = self._mm(h_V, self.Dense_i.kernel)
+        per_j = self._mm(h_V, self.Dense_j.kernel)
+        pjg = gather_nodes(per_j.astype(h_E.dtype), idx)
+
+        f32 = jnp.float32
+        pl_planes = jnp.concatenate([p_local[..., 0], p_local[..., 1],
+                                     p_local[..., 2]], -1)       # [B, L, 3P]
+        plf = p_local.astype(f32)
+        norm_pl = jnp.sqrt(plf[..., 0] ** 2 + plf[..., 1] ** 2
+                           + plf[..., 2] ** 2 + 1e-8)            # [B, L, P]
+        pg = geometry_global_points(p_local, frames)             # [B, L, 3P]
+        stackT = build_node_stack(
+            pl_planes.astype(f32), norm_pl, frames.rot.reshape(B, L, 9),
+            frames.trans, pg.astype(f32)).swapaxes(1, 2)         # [B, R, L]
+        # lane-major neighbor gather: [B, 3P, L] at [B, 3P, N] -> [B, 3P, N]
+        pgT = pg.astype(f32).swapaxes(1, 2)
+        idxf = jnp.broadcast_to(idx.reshape(B, 1, N), (B, 3 * P, N))
+        ngT = jnp.take_along_axis(pgT, idxf, axis=2, mode="clip")
+        mask = (mask_attend if mask_attend is not None
+                else jnp.ones(idx.shape, jnp.float32))
+
+        He = self.edge_dim
+        w_g_perm = self.Dense_e.kernel[He:][_geom_weight_perm(P)]
+        cd = self.dtype or jnp.float32
+
+        def one(pi, pj, he, st, ng, mk):
+            return fused_message_geom_lanes(
+                pi, pj, he, st, ng, mk,
+                self.Dense_e.kernel[:He], w_g_perm, self.Dense_e.bias,
+                self.Dense_1.kernel, self.Dense_1.bias,
+                self.Dense_2.kernel, self.Dense_2.bias,
+                K=idx.shape[-1], P=P, act_name=self.act, pool=pool,
+                blk=64, compute_dtype=cd, interpret=interpret)
+
+        return jax.vmap(one)(per_i, pjg, h_E, stackT, ngT, mask)
 
     def geom_fused(self, h_V, h_E, idx, p_local, frames, mask_attend=None,
                    pool: bool = False, interpret: bool = False):
@@ -432,7 +489,9 @@ class FactoredMessageMLP(nn.Module):
         act = _ACTS[self.act]
         per_e = self._mm(jnp.concatenate([h_E, geom.astype(h_E.dtype)], -1),
                          self.Dense_e.kernel) + self.Dense_e.bias
-        g = gather_nodes_mg if self.mxu_gather_grad else gather_nodes
+        g = (gather_nodes_mg
+             if resolve_mxu_gather_grad(self.mxu_gather_grad, h_V.shape[1])
+             else gather_nodes)
         x = act(per_i[:, :, None]
                 + (pjg if pjg is not None else g(per_j, idx)) + per_e)
         x = act(self._mm(x, self.Dense_1.kernel) + self.Dense_1.bias)
@@ -454,7 +513,7 @@ class InvariantPointLayer(nn.Module):
     dtype: object = None  # message/FFN computation dtype (geometry stays f32)
     edge_dim: int = 128
     geometry_lanes: bool = False  # lane-major geometry (geometry_features_lanes)
-    mxu_gather_grad: bool = False  # one-hot MXU gather backwards (training)
+    mxu_gather_grad: object = False  # False | True | "auto"  # one-hot MXU gather backwards (training)
     # gather the j-term and the local-geometry point planes as ONE wide
     # [B, L, K, H+3P] gather per message pass instead of two narrow ones
     # (same idx, same stream dtype -> concat/split is value-exact). Local
@@ -505,8 +564,9 @@ class InvariantPointLayer(nn.Module):
                                            stream_dtype=self.dtype)
         if self.geometry_lanes:
             return geometry_features_lanes(p_local, idx, frames)
-        return geometry_features(p_local, idx, frames,
-                                 mxu_gather_grad=self.mxu_gather_grad)
+        return geometry_features(
+            p_local, idx, frames,
+            mxu_gather_grad=resolve_mxu_gather_grad(self.mxu_gather_grad, L))
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X, mask_V=None, mask_attend=None,
@@ -534,17 +594,19 @@ class InvariantPointLayer(nn.Module):
                   act=self.act, dtype=self.dtype,
                   mxu_gather_grad=self.mxu_gather_grad)
 
-        # the in-kernel-geometry path works on global points; with the
-        # local-frame rel cache active it falls back to the standard fused
+        # the in-kernel-geometry paths work on global points; with the
+        # local-frame rel cache active they fall back to the standard fused
         # kernel over precomputed (local-path) features
-        geom_in_kernel = fused == "geom" and rel is None and not self.is_initializing()
+        geom_in_kernel = (fused in ("geom", "geom_lanes") and rel is None
+                          and not self.is_initializing())
         B, L = idx.shape[:2]
 
         points_node = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
         if geom_in_kernel:
             p_local = points_node(h_V).reshape(B, L, self.n_points, 3)
-            msg = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw).geom_fused(
-                h_V, h_E, idx, p_local, frames, mask_attend, pool=True)
+            mlp0 = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)
+            gf = mlp0.geom_fused_lanes if fused == "geom_lanes" else mlp0.geom_fused
+            msg = gf(h_V, h_E, idx, p_local, frames, mask_attend, pool=True)
         else:
             mlp0 = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)
             geom, pjg = self._geom_and_pjg(mlp0, h_V, h_E, idx, frames,
@@ -595,8 +657,11 @@ class InvariantPointLayer(nn.Module):
             points_edge = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
             if geom_in_kernel:
                 p_local = points_edge(h_V).reshape(B, L, self.n_points, 3)
-                e_msg = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw).geom_fused(
-                    h_V, h_E, idx, p_local, frames, mask_attend, pool=False)
+                mlp2 = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)
+                gf = (mlp2.geom_fused_lanes if fused == "geom_lanes"
+                      else mlp2.geom_fused)
+                e_msg = gf(h_V, h_E, idx, p_local, frames, mask_attend,
+                           pool=False)
             else:
                 mlp2 = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)
                 geom, pjg = self._geom_and_pjg(mlp2, h_V, h_E, idx, frames,
@@ -643,12 +708,14 @@ class VanillaMPNNLayer(nn.Module):
     act: str = "relu"
     edge_update: bool = True
     scale: float = 32.0
-    mxu_gather_grad: bool = False
+    mxu_gather_grad: object = False  # False | True | "auto"
 
     @nn.compact
     def __call__(self, h_V, h_E, idx, X=None, mask_V=None, mask_attend=None,
                  deterministic: bool = True, do_edge_update: bool = True):
-        g = gather_nodes_mg if self.mxu_gather_grad else gather_nodes
+        g = (gather_nodes_mg
+             if resolve_mxu_gather_grad(self.mxu_gather_grad, h_V.shape[1])
+             else gather_nodes)
         h_V_j = g(h_V, idx)
         h_V_i = jnp.broadcast_to(h_V[:, :, None], h_V_j.shape)
         h_in = jnp.concatenate([h_V_i, h_E, h_V_j], -1)
@@ -696,7 +763,7 @@ class MessagePassingStack(nn.Module):
     remat: bool = False
     # one-hot MXU gather backwards (gather_nodes_mg) on the message-stack
     # gathers — replaces the scatter-add transpose in training
-    mxu_gather_grad: bool = False
+    mxu_gather_grad: object = False  # False | True | "auto"
     # one wide j-term+geometry gather per message pass (local mode + fused)
     coalesce_gathers: bool = False
     # single-Pallas-pass post-message chains (inference; see NetworkConfig)

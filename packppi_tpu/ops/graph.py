@@ -174,6 +174,34 @@ def _gather_flat_mg_bwd(bwd_block, res, ct):
 _gather_flat_mg.defvjp(_gather_flat_mg_fwd, _gather_flat_mg_bwd)
 
 
+# measured crossover for the one-hot MXU gather backward ("auto" policy,
+# tools/bench_variants.py train_mg_sweep, r5 on one v5e chip, f32): the
+# contraction's FLOPs grow with rows*L while the scatter-add's traffic grows
+# with rows only, so the one-hot backward wins at small padded lengths and
+# loses at large ones. Measured step times (ms, mg off -> on):
+#   B1/L768  7.60 -> 6.49  (-15%)    B1/L1024 10.36 -> 9.11  (-12%)
+#   B1/L1536 16.17 -> 15.35 (-5%)    B1/L2048 24.14 -> 22.53 (-7%)
+#   B1/L3072 38.75 -> 44.60 (+15%)   B4/L1024 47.34 -> 41.81 (-12%)
+#   B4/L1536 80.67 -> 76.25 (-5%)
+# The sign flips between L=2048 and L=3072 at both batch sizes (B scales
+# both sides' rows equally, so the gate is on L alone); the boundary is
+# set at the largest measured WIN, conservative within the bracket.
+MXU_GATHER_GRAD_MAX_L = 2048
+
+
+def resolve_mxu_gather_grad(flag, L: int) -> bool:
+    """Resolve the ``mxu_gather_grad`` knob to a concrete bool.
+
+    ``"auto"`` gates on the padded residue length with the measured
+    crossover above — the same shape-keyed policy idiom as
+    ``attention_impl="auto"`` (PERF.md "Flash attention A/B"). Booleans
+    pass through, so existing explicit configs are unchanged.
+    """
+    if flag == "auto":
+        return L <= MXU_GATHER_GRAD_MAX_L
+    return bool(flag)
+
+
 def gather_nodes_mg(nodes: jnp.ndarray, idx: jnp.ndarray,
                     bwd_block: int = 8192) -> jnp.ndarray:
     """``gather_nodes`` with an MXU one-hot-contraction BACKWARD.

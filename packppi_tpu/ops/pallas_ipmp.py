@@ -237,6 +237,195 @@ def fused_message_geom(per_i, per_j_gathered, h_E, p_local_planes, ng_planes,
     return out[: L * K].reshape(L, K, H)
 
 
+def _geom_lanes_kernel(per_i_ref, pj_ref, he_ref, nodeT_ref, ngT_ref,
+                       mask_ref,
+                       whe_ref, wgT_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                       b2_ref, out_ref, *, K: int, P: int, act_name: str,
+                       pool: bool, compute_dtype):
+    """Message kernel with LANE-MAJOR in-kernel geometry.
+
+    The r4 ``_geom_fused_kernel`` was rejected because its geometry math ran
+    on [blk, K, P] tiles — P=8 of the VPU's 128 lanes — and its AoS
+    intermediates overflowed scoped VMEM at blk=128 (PERF.md "Geometry-in-
+    kernel fused message"). Here every geometry intermediate is a
+    [rows, C] tile with C = blk*K in the LANE dimension (full 128-lane
+    occupancy; C is a multiple of 128), the layout the end-of-r4 re-profile
+    named as the untried fix (PERF.md:231-234):
+
+      * per-node quantities arrive TRANSPOSED ([rows, blk], see
+        ``_NODE_STACK_ROWS``) and are lane-expanded across each node's K
+        edge lanes by one exact one-hot MXU contraction (HIGHEST precision
+        — the expansion weights are exactly 1.0 and the f32 payload must
+        not be decomposed to bf16: global coordinates lose ~0.5 A at bf16,
+        the measured r4 failure mode);
+      * the gathered neighbor planes arrive already lane-major
+        ([3P, C] blocks of the [3P, L*K] XLA lane-gather output);
+      * the geometry feature block [9P, C] feeds the message matmul in
+        transposed form (W_g^T @ feat_T on the MXU) and ONE [H, C]->[C, H]
+        transpose rejoins the standard row-major message chain.
+
+    The [L*K, 9P] feature tensor never touches HBM, and — unlike the AoS
+    variant — nothing in VMEM is [.., K, P]-shaped.
+    """
+    blk = per_i_ref.shape[0]
+    H = per_i_ref.shape[1]
+    C = blk * K
+    act = _act(act_name)
+    cd = compute_dtype
+    f32 = jnp.float32
+    eps = 1e-8
+    hp = jax.lax.Precision.HIGHEST
+
+    # one-hot lane expansion: E[b, b*K + k] = 1  ->  rep = node @ E
+    lane_node = jax.lax.broadcasted_iota(jnp.int32, (blk, C), 1) // K
+    row_node = jax.lax.broadcasted_iota(jnp.int32, (blk, C), 0)
+    E = (lane_node == row_node).astype(f32)
+    rep = jnp.dot(nodeT_ref[...], E, preferred_element_type=f32,
+                  precision=hp)                                  # [R, C]
+
+    plr = rep[0:3 * P]                                           # [3P, C]
+    norm_plr = rep[3 * P:4 * P]                                  # [P, C]
+    r_row = lambda i: rep[4 * P + i:4 * P + i + 1]               # [1, C]
+    t_row = lambda i: rep[4 * P + 9 + i:4 * P + 10 + i]          # [1, C]
+    pgr = rep[4 * P + 12:7 * P + 12]                             # [3P, C]
+
+    ngT = ngT_ref[...]                                           # [3P, C] f32
+    ngx, ngy, ngz = ngT[:P], ngT[P:2 * P], ngT[2 * P:]
+    dx = ngx - t_row(0)
+    dy = ngy - t_row(1)
+    dz = ngz - t_row(2)
+    # j's points in i's frame: R_i^T d (columns of the row-major R9)
+    nlx = r_row(0) * dx + r_row(3) * dy + r_row(6) * dz
+    nly = r_row(1) * dx + r_row(4) * dy + r_row(7) * dz
+    nlz = r_row(2) * dx + r_row(5) * dy + r_row(8) * dz
+    norm_nl = jnp.sqrt(nlx * nlx + nly * nly + nlz * nlz + eps)
+    ddx = pgr[:P] - ngx
+    ddy = pgr[P:2 * P] - ngy
+    ddz = pgr[2 * P:] - ngz
+    norm_pair = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + eps)
+
+    featT = jnp.concatenate([plr, norm_plr, nlx, nly, nlz, norm_nl,
+                             norm_pair], axis=0)                 # [9P, C]
+    # W_g^T @ feat_T on the MXU; ONE transpose rejoins row-major layout
+    msg_gT = jnp.dot(wgT_ref[...].astype(cd), featT.astype(cd),
+                     preferred_element_type=f32)                 # [H, C]
+    msg_g = msg_gT.T                                             # [C, H]
+
+    x = jnp.dot(he_ref[...].astype(cd), whe_ref[...].astype(cd),
+                preferred_element_type=f32)
+    x = x + msg_g + be_ref[...]
+    x = x.reshape(blk, K, H) + per_i_ref[...][:, None, :]
+    x = act(x.reshape(C, H) + pj_ref[...].astype(f32))
+    x = _message_chain(x.astype(cd), w1_ref[...].astype(cd), b1_ref[...],
+                       w2_ref[...].astype(cd), b2_ref[...], act)
+
+    if pool:
+        x = x.reshape(blk, K, H) * mask_ref[...][..., None]
+        out_ref[...] = (x.sum(axis=1) / float(K)).astype(out_ref.dtype)
+    else:
+        out_ref[...] = x.astype(out_ref.dtype)
+
+
+def _node_stack_rows(P: int) -> int:
+    """Sublane row count of the per-node transposed stack consumed by
+    ``_geom_lanes_kernel``: [pl planes (3P) | norm_pl (P) | R9 (9) |
+    t3 (3) | pg planes (3P)], padded to a multiple of 8 (f32 tiling)."""
+    r = 7 * P + 12
+    return -(-r // 8) * 8
+
+
+def build_node_stack(p_local_planes, norm_pl, rot9, trans3, pg_planes):
+    """[L, R_pad] per-node stack (row-major; transposed by the caller of
+    the kernel) in ``_geom_lanes_kernel``'s row layout."""
+    P = norm_pl.shape[-1]
+    stack = jnp.concatenate(
+        [p_local_planes, norm_pl, rot9, trans3, pg_planes], axis=-1)
+    pad = _node_stack_rows(P) - stack.shape[-1]
+    if pad:
+        stack = jnp.pad(stack, [(0, 0)] * (stack.ndim - 1) + [(0, pad)])
+    return stack
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "P", "act_name", "pool", "blk", "compute_dtype",
+                     "interpret"))
+def fused_message_geom_lanes(per_i, per_j_gathered, h_E, node_stackT,
+                             ngT, mask_attend,
+                             w_he, w_g_perm, b_e, w1, b1, w2, b2,
+                             K: int = 32, P: int = 8, act_name: str = "relu",
+                             pool: bool = True, blk: int = 64,
+                             compute_dtype=jnp.bfloat16,
+                             interpret: bool = False):
+    """``fused_message`` with lane-major in-kernel geometry over one batch
+    element (see ``_geom_lanes_kernel``).
+
+    Args:
+        node_stackT: [R_pad, L] f32 transposed per-node stack
+            (``build_node_stack(...).T``).
+        ngT: [3P, L*K] f32 lane-major gathered neighbor global-point planes
+            (``take_along_axis(pg_T, idx, axis=-1)`` — gather along lanes).
+        w_g_perm: [9P, H] Dense_e geometry rows pre-permuted with
+            ``_geom_weight_perm`` (same plane-major order as the AoS geom
+            kernel).
+    Other args/returns as ``fused_message``.
+    """
+    L, H = per_i.shape
+    He = h_E.shape[-1]
+    L_pad = -(-L // blk) * blk
+    R = node_stackT.shape[0]
+
+    def pad_rows(x, rows):
+        return jnp.pad(x, [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+    def pad_lanes(x, cols):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, cols - x.shape[-1])])
+
+    per_i_p = pad_rows(per_i.astype(jnp.float32), L_pad)
+    pj_p = pad_rows(per_j_gathered.reshape(L * K, H), L_pad * K)
+    he_p = pad_rows(h_E.reshape(L * K, He), L_pad * K)
+    nodeT_p = pad_lanes(node_stackT.astype(jnp.float32), L_pad)
+    ngT_p = pad_lanes(ngT.astype(jnp.float32), L_pad * K)
+    mask_p = pad_rows(mask_attend.astype(jnp.float32), L_pad)
+
+    grid = (L_pad // blk,)
+    out_shape = (jax.ShapeDtypeStruct((L_pad, H), jnp.float32) if pool
+                 else jax.ShapeDtypeStruct((L_pad * K, H), h_E.dtype))
+    out_spec = (pl.BlockSpec((blk, H), lambda r: (r, 0), memory_space=pltpu.VMEM)
+                if pool else
+                pl.BlockSpec((blk * K, H), lambda r: (r, 0), memory_space=pltpu.VMEM))
+
+    row = lambda cols: pl.BlockSpec((blk, cols), lambda r: (r, 0),
+                                    memory_space=pltpu.VMEM)
+    erow = lambda cols: pl.BlockSpec((blk * K, cols), lambda r: (r, 0),
+                                     memory_space=pltpu.VMEM)
+    lane = lambda rows, c: pl.BlockSpec((rows, c), lambda r: (0, r),
+                                        memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_geom_lanes_kernel, K=K, P=P, act_name=act_name,
+                          pool=pool, compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[row(H), erow(H), erow(He),
+                  lane(R, blk), lane(3 * P, blk * K),
+                  pl.BlockSpec((blk, K), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [full()] * 7,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(per_i_p, pj_p, he_p, nodeT_p, ngT_p, mask_p,
+      w_he.astype(jnp.float32),
+      w_g_perm.astype(jnp.float32).T,             # [H, 9P] for W^T @ feat_T
+      b_e.astype(jnp.float32).reshape(1, -1),
+      w1.astype(jnp.float32), b1.astype(jnp.float32).reshape(1, -1),
+      w2.astype(jnp.float32), b2.astype(jnp.float32).reshape(1, -1))
+
+    if pool:
+        return out[:L]
+    return out[: L * K].reshape(L, K, H)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("K", "act_name", "pool", "blk", "compute_dtype", "interpret"))

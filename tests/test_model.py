@@ -222,6 +222,37 @@ def test_fused_messages_geom_match_unfused(small_batch):
     np.testing.assert_allclose(np.asarray(h_g), np.asarray(h_u), atol=2e-5)
 
 
+def test_fused_messages_geom_lanes_match_unfused(small_batch):
+    """The LANE-MAJOR geometry-in-kernel fused message path
+    (fused_messages="geom_lanes", interpret mode on CPU) must match the
+    unfused jnp path through the full network — locks the in-VMEM
+    lane-major feature math, the one-hot lane expansion of the per-node
+    stack, and the transposed W_g^T contraction + rejoining transpose."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    from packppi_tpu.models.ipmp import FactoredMessageMLP
+    from unittest import mock
+
+    model_g = TorsionalDiffusion.create(NC(fused_messages="geom_lanes"),
+                                        SampleConfig())
+    model_u = TorsionalDiffusion.create(NC(), SampleConfig())
+    params = model_u.init(jax.random.key(0), small_batch)
+    t = jnp.full(small_batch.residue_mask.shape, 0.3)
+
+    s_u, h_u = model_u.apply(params, small_batch, small_batch.SC_D, t)
+
+    orig = FactoredMessageMLP.geom_fused_lanes
+
+    def patched(self, *args, **kw):
+        kw["interpret"] = True
+        return orig(self, *args, **kw)
+
+    with mock.patch.object(FactoredMessageMLP, "geom_fused_lanes", patched):
+        s_g, h_g = model_g.apply(params, small_batch, small_batch.SC_D, t)
+
+    np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_u), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_g), np.asarray(h_u), atol=2e-5)
+
+
 def test_fused_layers_match_unfused(small_batch):
     """The step-fused Pallas layer path (two VMEM-resident passes per IPMP
     layer, interpret mode on CPU) must match the unfused jnp path through
@@ -343,6 +374,46 @@ def test_fused_chain_gradients_match_unfused(small_batch):
         TorsionalDiffusion.create(
             NC(dropout=0.1, fused_chain_train=True), SampleConfig()
         ).init(jax.random.key(0), small_batch)
+
+
+def test_mxu_gather_grad_auto_policy(small_batch):
+    """Pins the "auto" policy table for the one-hot MXU gather backward
+    (ops.graph.resolve_mxu_gather_grad): measured-sign shapes from the r5
+    sweep (PERF.md) resolve to the winning side, the boundary sits at
+    MXU_GATHER_GRAD_MAX_L, explicit booleans pass through, and a training
+    step traces end-to-end with the auto knob (the trainer-config
+    default)."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    from packppi_tpu.ops.graph import (MXU_GATHER_GRAD_MAX_L,
+                                       resolve_mxu_gather_grad)
+
+    # measured-sign shapes (the sweep's unambiguous endpoints)
+    assert resolve_mxu_gather_grad("auto", 768) is True
+    assert resolve_mxu_gather_grad("auto", 1024) is True
+    assert resolve_mxu_gather_grad("auto", 3072) is False
+    # the boundary is exactly the measured-crossover constant
+    assert resolve_mxu_gather_grad("auto", MXU_GATHER_GRAD_MAX_L) is True
+    assert not resolve_mxu_gather_grad("auto", MXU_GATHER_GRAD_MAX_L + 1)
+    # explicit booleans bypass the policy (existing configs unchanged)
+    assert resolve_mxu_gather_grad(True, 10 ** 6) is True
+    assert resolve_mxu_gather_grad(False, 1) is False
+
+    model_a = TorsionalDiffusion.create(NC(mxu_gather_grad="auto"),
+                                        SampleConfig())
+    model_d = TorsionalDiffusion.create(NC(), SampleConfig())
+    params = model_d.init(jax.random.key(0), small_batch)
+    key = jax.random.key(7)
+    g_a = jax.grad(lambda p: model_a.loss(p, key, small_batch))(params)
+    g_d = jax.grad(lambda p: model_d.loss(p, key, small_batch))(params)
+    # auto at this (small) L engages the one-hot backward: gradients are
+    # the same sums up to float reassociation
+    for (k, v_a), (_, v_d) in zip(
+            jax.tree_util.tree_leaves_with_path(g_a),
+            jax.tree_util.tree_leaves_with_path(g_d)):
+        scale = max(float(jnp.abs(v_d).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(v_a), np.asarray(v_d), atol=1e-4 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
 
 
 def test_skip_last_edge_update_is_exact(model, params, small_batch):

@@ -59,6 +59,9 @@ def bench_sampler():
         ("global_bf16_fused_chain", NetworkConfig(compute_dtype="bfloat16",
                                                   fused_messages=True,
                                                   fused_chain=True)),
+        ("geom_lanes_bf16_chain", NetworkConfig(compute_dtype="bfloat16",
+                                                fused_messages="geom_lanes",
+                                                fused_chain=True)),
         ("local_bf16_fused", NetworkConfig(compute_dtype="bfloat16", fused_messages=True,
                                            geometry_mode="local")),
         ("local_bf16_unfused", NetworkConfig(compute_dtype="bfloat16",
@@ -229,6 +232,104 @@ def bench_train_mg():
                     flush=True)
 
 
+def bench_train_fc():
+    """A/B: training step with the differentiable fused post-message chains
+    (NetworkConfig.fused_chain_train -> ops.pallas_layer.fused_chain_diff,
+    custom-VJP jnp-replay backward) vs the unfused flax chains. Both sides
+    run dropout=0.0 — the only configuration the fused path admits — so the
+    comparison is function-identical. Targets the ~10% of train device time
+    the r4 profile charged to LayerNorms + message-MLP act/concat fusions."""
+    import os
+
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(os.environ.get("PACKPPI_BENCH_PLATFORM"))
+    import jax
+    import optax
+
+    from __graft_entry__ import _synthetic_batch
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.train.diffusion_task import init_state, make_train_step
+
+    floor = _floor(jax)
+    for B, L in [(4, 1024), (1, 3072)]:
+        batch = _synthetic_batch(B=B, L=L)
+        for fc in [False, True]:
+            model = TorsionalDiffusion.create(
+                NetworkConfig(dropout=0.0, fused_chain_train=fc),
+                SampleConfig())
+            opt = optax.adamw(1e-4)
+            state = init_state(model, jax.random.key(0), batch, opt)
+            step = make_train_step(model, opt)
+
+            @jax.jit
+            def steps(state, batch, n_dummy):
+                def body(s, _):
+                    s2, loss = step(s, batch)
+                    return s2, loss
+                s, losses = jax.lax.scan(body, state, n_dummy)
+                return s, losses.sum()
+
+            R = 8
+            dummy = jax.numpy.zeros(R)
+            s2, loss = steps(state, batch, dummy)
+            jax.block_until_ready(s2.params)
+            total = min(_timeit(lambda: float(steps(state, batch, dummy)[1]))
+                        for _ in range(3))
+            print(json.dumps({
+                "config": f"train_B{B}_L{L}_f32_fc{int(fc)}",
+                "loss8": round(float(loss), 8),
+                "step_s": round(max(total - floor, 1e-9) / R, 5)}),
+                flush=True)
+
+
+def bench_train_mg_sweep():
+    """Crossover sweep for the mxu_gather_grad auto policy: the one-hot MXU
+    gather backward wins when L is small (the contraction's FLOPs scale with
+    rows*L while the scatter's traffic scales with rows) and loses at large
+    L. Sweeps L at B=1 plus the batched-crop point; the measured boundary
+    feeds ops.graph.MXU_GATHER_GRAD_MAX_L (the "auto" gate)."""
+    import os
+
+    from packppi_tpu.utils.platform import configure_platform
+    configure_platform(os.environ.get("PACKPPI_BENCH_PLATFORM"))
+    import jax
+    import optax
+
+    from __graft_entry__ import _synthetic_batch
+    from packppi_tpu.models import NetworkConfig, SampleConfig, TorsionalDiffusion
+    from packppi_tpu.train.diffusion_task import init_state, make_train_step
+
+    floor = _floor(jax)
+    for B, L in [(1, 768), (1, 1024), (1, 1536), (1, 2048), (1, 3072),
+                 (4, 1024), (4, 1536)]:
+        batch = _synthetic_batch(B=B, L=L)
+        for mg in [False, True]:
+            model = TorsionalDiffusion.create(
+                NetworkConfig(mxu_gather_grad=mg), SampleConfig())
+            opt = optax.adamw(1e-4)
+            state = init_state(model, jax.random.key(0), batch, opt)
+            step = make_train_step(model, opt)
+
+            @jax.jit
+            def steps(state, batch, n_dummy):
+                def body(s, _):
+                    s2, loss = step(s, batch)
+                    return s2, loss
+                s, losses = jax.lax.scan(body, state, n_dummy)
+                return s, losses.sum()
+
+            R = 8
+            dummy = jax.numpy.zeros(R)
+            s2, _ = steps(state, batch, dummy)
+            jax.block_until_ready(s2.params)
+            total = min(_timeit(lambda: float(steps(state, batch, dummy)[1]))
+                        for _ in range(3))
+            print(json.dumps({
+                "config": f"train_B{B}_L{L}_mg{int(mg)}",
+                "step_s": round(max(total - floor, 1e-9) / R, 5)}),
+                flush=True)
+
+
 def bench_esm():
     """ESM-2 embedding extraction on-device: 650M-shaped encoder, random
     weights (identical FLOP/byte profile to converted weights), bf16 MXU
@@ -315,4 +416,5 @@ if __name__ == "__main__":
     suite = sys.argv[1] if len(sys.argv) > 1 else "sampler"
     {"sampler": bench_sampler, "train": bench_train,
      "train_fused": bench_train_fused, "train_mg": bench_train_mg,
+     "train_fc": bench_train_fc, "train_mg_sweep": bench_train_mg_sweep,
      "esm": bench_esm}[suite]()
