@@ -70,9 +70,12 @@ def main() -> None:
     # bf16 message/FFN compute (geometry stays f32) + fused Pallas message
     # kernel: measured 56ms (f32) -> 48ms (bf16) -> 45.5ms (fused) on v5e;
     # fused_chain (single-Pallas-pass residual/LN/FFN chains) measured
-    # 29.4 -> 23.1 ms (PERF.md "Fused post-message chains")
+    # 29.4 -> 23.1 ms (PERF.md "Fused post-message chains"); geom_lanes
+    # (lane-major in-kernel geometry) 23.4 -> 21.8 ms (r5, PERF.md
+    # "Lane-major geometry kernel")
     model = TorsionalDiffusion.create(
-        NetworkConfig(compute_dtype="bfloat16", fused_messages=on_tpu,
+        NetworkConfig(compute_dtype="bfloat16",
+                      fused_messages="geom_lanes" if on_tpu else False,
                       fused_chain=on_tpu), SampleConfig())
     params = model.init(jax.random.key(0), batch)
 

@@ -95,11 +95,17 @@ def run(args) -> dict:
     # sampler pass costs barely more than one sample on the MXU
     batch = stack_batch([feats] * n_samples, target_len=target_len)
 
-    # the fused Pallas kernel is TPU-only; fall back transparently elsewhere
+    # the fused Pallas kernels are TPU-only; fall back transparently
+    # elsewhere. On TPU the default message path is the lane-major
+    # in-kernel-geometry kernel (r5: 21.8 vs 23.4 ms T1124 pack, PERF.md
+    # "Lane-major geometry kernel"); local geometry mode keeps the
+    # standard fused kernel (the geom kernels need global points).
     fused = not args.no_fused and jax.default_backend().startswith(("tpu", "axon"))
-    net_cfg = NetworkConfig(compute_dtype=args.precision, fused_messages=fused,
-                            fused_chain=fused,
-                            geometry_mode=getattr(args, "geometry", "global"))
+    geometry = getattr(args, "geometry", "global")
+    fm = (False if not fused
+          else (True if geometry == "local" else "geom_lanes"))
+    net_cfg = NetworkConfig(compute_dtype=args.precision, fused_messages=fm,
+                            fused_chain=fused, geometry_mode=geometry)
     model = TorsionalDiffusion.create(net_cfg, SampleConfig())
     key = jax.random.key(args.seed)
     if args.ckpt:
@@ -241,9 +247,12 @@ def run_directory(args) -> list:
 
     fused = (not getattr(args, "no_fused", False)
              and jax.default_backend().startswith(("tpu", "axon")))
+    geometry = getattr(args, "geometry", "global")
+    fm = (False if not fused
+          else (True if geometry == "local" else "geom_lanes"))
     net_cfg = NetworkConfig(compute_dtype=getattr(args, "precision", "bfloat16"),
-                            fused_messages=fused, fused_chain=fused,
-                            geometry_mode=getattr(args, "geometry", "global"))
+                            fused_messages=fm, fused_chain=fused,
+                            geometry_mode=geometry)
     model = TorsionalDiffusion.create(net_cfg, SampleConfig())
     key = jax.random.key(args.seed)
     init_batch = stack_batch(feats[:1])

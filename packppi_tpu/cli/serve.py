@@ -96,9 +96,11 @@ class PackSession:
 
         fused = (not getattr(args, "no_fused", False)
                  and jax.default_backend().startswith(("tpu", "axon")))
-        net_cfg = NetworkConfig(compute_dtype=args.precision, fused_messages=fused,
-                                fused_chain=fused,
-                                geometry_mode=getattr(args, "geometry", "global"))
+        geometry = getattr(args, "geometry", "global")
+        fm = (False if not fused
+              else (True if geometry == "local" else "geom_lanes"))
+        net_cfg = NetworkConfig(compute_dtype=args.precision, fused_messages=fm,
+                                fused_chain=fused, geometry_mode=geometry)
         self.model = TorsionalDiffusion.create(net_cfg, SampleConfig())
         self._key = jax.random.key(args.seed)
 

@@ -126,7 +126,8 @@ class ChiScoreNetwork(nn.Module):
     def setup(self):
         c = self.cfg
         if c.geometry_mode == "local" and (
-                c.fused_messages in ("geom", "geom_lanes") or c.fused_layers):
+                c.fused_messages in ("geom", "geom_lanes", "geom_gather")
+                or c.fused_layers):
             raise ValueError(
                 "geometry_mode='local' is incompatible with the global-point "
                 "kernels (fused_messages='geom' / fused_layers)")

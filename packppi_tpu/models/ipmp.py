@@ -369,11 +369,12 @@ class FactoredMessageMLP(nn.Module):
         pg = geometry_global_points(p_local, frames)             # [B, L, 3P]
         stackT = build_node_stack(
             pl_planes.astype(f32), norm_pl, frames.rot.reshape(B, L, 9),
-            frames.trans, pg.astype(f32)).swapaxes(1, 2)         # [B, R, L]
-        # lane-major neighbor gather: [B, 3P, L] at [B, 3P, N] -> [B, 3P, N]
-        pgT = pg.astype(f32).swapaxes(1, 2)
-        idxf = jnp.broadcast_to(idx.reshape(B, 1, N), (B, 3 * P, N))
-        ngT = jnp.take_along_axis(pgT, idxf, axis=2, mode="clip")
+            frames.trans, pg.astype(f32))                        # [B, L, R]
+        # neighbor planes via the standard fast ROW gather; the kernel
+        # transposes each block to lane-major in VMEM (a lane-dim
+        # take_along_axis here measured ~25 ms/step — the v1 lanes
+        # kernel's actual 33x regression, misattributed to the kernel)
+        ngT = gather_nodes(pg.astype(f32), idx)                  # [B,L,K,3P]
         mask = (mask_attend if mask_attend is not None
                 else jnp.ones(idx.shape, jnp.float32))
 
@@ -388,9 +389,60 @@ class FactoredMessageMLP(nn.Module):
                 self.Dense_1.kernel, self.Dense_1.bias,
                 self.Dense_2.kernel, self.Dense_2.bias,
                 K=idx.shape[-1], P=P, act_name=self.act, pool=pool,
-                blk=64, compute_dtype=cd, interpret=interpret)
+                # blk swept 64/96/128 on-chip: 22.17/21.90/21.82 ms pack —
+                # unlike the AoS geom kernel (VMEM-forced to 64), the
+                # lane-major intermediates leave room for full 128-row
+                # message-matmul blocks (tools/bench_lanes_blk.py)
+                blk=128, compute_dtype=cd, interpret=interpret)
 
         return jax.vmap(one)(per_i, pjg, h_E, stackT, ngT, mask)
+
+    def geom_fused_gather(self, h_V, h_E, idx, p_local, frames,
+                          mask_attend=None, pool: bool = False,
+                          interpret: bool = False):
+        """``geom_fused_lanes`` with the neighbor GATHERS inside the kernel
+        too (ops.pallas_ipmp.fused_message_geom_gather): the j-term and the
+        neighbor point planes ride one one-hot MXU contraction per block —
+        neither gathered stream ever exists in HBM. The end-of-r5
+        attribution put 52% of the remaining pack time in exactly these
+        XLA row gathers."""
+        from packppi_tpu.ops.pallas_ipmp import (_geom_weight_perm,
+                                                 build_node_stack,
+                                                 fused_message_geom_gather)
+
+        B, L, P = p_local.shape[:3]
+        N = idx.shape[1] * idx.shape[2]
+        per_i = self._mm(h_V, self.Dense_i.kernel)
+        per_j = self._mm(h_V, self.Dense_j.kernel).astype(h_E.dtype)
+
+        f32 = jnp.float32
+        pl_planes = jnp.concatenate([p_local[..., 0], p_local[..., 1],
+                                     p_local[..., 2]], -1)
+        plf = p_local.astype(f32)
+        norm_pl = jnp.sqrt(plf[..., 0] ** 2 + plf[..., 1] ** 2
+                           + plf[..., 2] ** 2 + 1e-8)
+        pg = geometry_global_points(p_local, frames)
+        stackT = build_node_stack(
+            pl_planes.astype(f32), norm_pl, frames.rot.reshape(B, L, 9),
+            frames.trans, pg.astype(f32))
+        mask = (mask_attend if mask_attend is not None
+                else jnp.ones(idx.shape, jnp.float32))
+
+        He = self.edge_dim
+        w_g_perm = self.Dense_e.kernel[He:][_geom_weight_perm(P)]
+        cd = self.dtype or jnp.float32
+
+        def one(pi, he, st, iflat, pj, pgf, mk):
+            return fused_message_geom_gather(
+                pi, he, st, iflat, pj, pgf, mk,
+                self.Dense_e.kernel[:He], w_g_perm, self.Dense_e.bias,
+                self.Dense_1.kernel, self.Dense_1.bias,
+                self.Dense_2.kernel, self.Dense_2.bias,
+                K=idx.shape[-1], P=P, act_name=self.act, pool=pool,
+                blk=64, compute_dtype=cd, interpret=interpret)
+
+        return jax.vmap(one)(per_i, h_E, stackT, idx.reshape(B, N),
+                             per_j, pg.astype(f32), mask)
 
     def geom_fused(self, h_V, h_E, idx, p_local, frames, mask_attend=None,
                    pool: bool = False, interpret: bool = False):
@@ -597,15 +649,16 @@ class InvariantPointLayer(nn.Module):
         # the in-kernel-geometry paths work on global points; with the
         # local-frame rel cache active they fall back to the standard fused
         # kernel over precomputed (local-path) features
-        geom_in_kernel = (fused in ("geom", "geom_lanes") and rel is None
-                          and not self.is_initializing())
+        geom_in_kernel = (fused in ("geom", "geom_lanes", "geom_gather")
+                          and rel is None and not self.is_initializing())
         B, L = idx.shape[:2]
 
         points_node = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
         if geom_in_kernel:
             p_local = points_node(h_V).reshape(B, L, self.n_points, 3)
             mlp0 = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)
-            gf = mlp0.geom_fused_lanes if fused == "geom_lanes" else mlp0.geom_fused
+            gf = {"geom_lanes": mlp0.geom_fused_lanes,
+                  "geom_gather": mlp0.geom_fused_gather}.get(fused, mlp0.geom_fused)
             msg = gf(h_V, h_E, idx, p_local, frames, mask_attend, pool=True)
         else:
             mlp0 = FactoredMessageMLP(self.hidden_dim, name="MLP_0", **kw)
@@ -658,8 +711,8 @@ class InvariantPointLayer(nn.Module):
             if geom_in_kernel:
                 p_local = points_edge(h_V).reshape(B, L, self.n_points, 3)
                 mlp2 = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)
-                gf = (mlp2.geom_fused_lanes if fused == "geom_lanes"
-                      else mlp2.geom_fused)
+                gf = {"geom_lanes": mlp2.geom_fused_lanes,
+                      "geom_gather": mlp2.geom_fused_gather}.get(fused, mlp2.geom_fused)
                 e_msg = gf(h_V, h_E, idx, p_local, frames, mask_attend,
                            pool=False)
             else:

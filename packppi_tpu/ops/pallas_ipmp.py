@@ -274,14 +274,27 @@ def _geom_lanes_kernel(per_i_ref, pj_ref, he_ref, nodeT_ref, ngT_ref,
     cd = compute_dtype
     f32 = jnp.float32
     eps = 1e-8
-    hp = jax.lax.Precision.HIGHEST
 
-    # one-hot lane expansion: E[b, b*K + k] = 1  ->  rep = node @ E
+    # one-hot lane expansion: E[b, b*K + k] = 1 -> rep = node^T @ E. The
+    # node stack arrives ROW-major ([blk, R] — a lane-dim block of the
+    # transposed layout is not a legal Mosaic block shape); the transposed
+    # contraction runs natively on the MXU via dot_general. Exactness
+    # WITHOUT HIGHEST (which measured ~11-18 us/block here — 20-30 ms/pack,
+    # the bulk of the v1 kernel's 33x slowdown): a bf16x3 decomposition —
+    # f32 payload split into three bf16 terms (exactly, 3 x 8 mantissa
+    # bits >= f32's 24), each expanded by a default-precision bf16 dot
+    # (one-hot weights are exactly 1.0), f32-accumulated. Probed exact to
+    # 0.0 at 100 A coordinate scale (tools/probe_lanes_cost.py).
     lane_node = jax.lax.broadcasted_iota(jnp.int32, (blk, C), 1) // K
     row_node = jax.lax.broadcasted_iota(jnp.int32, (blk, C), 0)
-    E = (lane_node == row_node).astype(f32)
-    rep = jnp.dot(nodeT_ref[...], E, preferred_element_type=f32,
-                  precision=hp)                                  # [R, C]
+    E = (lane_node == row_node).astype(jnp.bfloat16)
+    x_node = nodeT_ref[...]
+    rep = jnp.zeros((nodeT_ref.shape[1], C), f32)
+    for _ in range(3):
+        hi = x_node.astype(jnp.bfloat16)
+        rep = rep + jax.lax.dot_general(
+            hi, E, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        x_node = x_node - hi.astype(f32)                         # [R, C]
 
     plr = rep[0:3 * P]                                           # [3P, C]
     norm_plr = rep[3 * P:4 * P]                                  # [P, C]
@@ -289,7 +302,10 @@ def _geom_lanes_kernel(per_i_ref, pj_ref, he_ref, nodeT_ref, ngT_ref,
     t_row = lambda i: rep[4 * P + 9 + i:4 * P + 10 + i]          # [1, C]
     pgr = rep[4 * P + 12:7 * P + 12]                             # [3P, C]
 
-    ngT = ngT_ref[...]                                           # [3P, C] f32
+    # neighbor planes arrive ROW-major ([C, 3P] — the fast XLA row-gather
+    # emitter's layout; a lane-dim take_along_axis measured ~25 ms/step)
+    # and join the lane-major math through one free in-kernel transpose
+    ngT = ngT_ref[...].T                                         # [3P, C] f32
     ngx, ngy, ngz = ngT[:P], ngT[P:2 * P], ngT[2 * P:]
     dx = ngx - t_row(0)
     dy = ngy - t_row(1)
@@ -326,6 +342,187 @@ def _geom_lanes_kernel(per_i_ref, pj_ref, he_ref, nodeT_ref, ngT_ref,
         out_ref[...] = x.astype(out_ref.dtype)
 
 
+def _geom_gather_kernel(per_i_ref, he_ref, nodeT_ref, idx_ref, perj_ref,
+                        pg_ref, mask_ref,
+                        whe_ref, wgT_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                        b2_ref, out_ref, *, K: int, P: int, L: int,
+                        act_name: str, pool: bool, compute_dtype):
+    """``_geom_lanes_kernel`` with the neighbor GATHERS inside too.
+
+    The end-of-r5 attribution puts 52% of the remaining pack time in the
+    XLA row gathers (j-term + neighbor planes, ~3x their traffic floor).
+    Here both ride ONE one-hot MXU contraction per block: oh[c, l] =
+    (idx[c] == l), then
+
+        pjg = oh @ per_j          (stream-dtype payload — exact: one-hot
+                                   weights are 1.0 and bf16 x bf16
+                                   accumulates in f32)
+        ng  = sum_3 oh @ pg_term  (f32 payload via the exact bf16x3
+                                   decomposition, see the lane expansion)
+
+    so neither gathered stream ever exists in HBM: the [C, H] j-term and
+    the [C, 3P] neighbor planes are consumed by the message assembly in
+    VMEM. Inputs are the FULL (small) per-node tables: per_j [L, H] in the
+    stream dtype and pg [L, 3P] f32.
+    """
+    blk = per_i_ref.shape[0]
+    H = per_i_ref.shape[1]
+    C = blk * K
+    act = _act(act_name)
+    cd = compute_dtype
+    f32 = jnp.float32
+    eps = 1e-8
+
+    # ---- in-kernel gathers: one one-hot per block, two payloads --------
+    iv = idx_ref[...]                                            # [C] int32
+    oh = (iv[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, L), 1)).astype(jnp.bfloat16)              # [C, L]
+
+    def select(payload, width):
+        """oh @ payload, exact: bf16 payloads in one dot (one-hot weights
+        are exactly 1.0, f32 accumulation); f32 payloads via the bf16x3
+        decomposition."""
+        if payload.dtype == jnp.bfloat16:
+            return jnp.dot(oh, payload, preferred_element_type=f32)
+        acc = jnp.zeros((C, width), f32)
+        x = payload.astype(f32)
+        for _ in range(3):
+            hi = x.astype(jnp.bfloat16)
+            acc = acc + jnp.dot(oh, hi, preferred_element_type=f32)
+            x = x - hi.astype(f32)
+        return acc
+
+    pj = select(perj_ref[...], H)                                # [C, H]
+    ngT = select(pg_ref[...], 3 * P).T                           # [3P, C]
+
+    # ---- lane expansion of the per-node stack (see _geom_lanes_kernel) -
+    lane_node = jax.lax.broadcasted_iota(jnp.int32, (blk, C), 1) // K
+    row_node = jax.lax.broadcasted_iota(jnp.int32, (blk, C), 0)
+    E = (lane_node == row_node).astype(jnp.bfloat16)
+    x_node = nodeT_ref[...]
+    rep = jnp.zeros((nodeT_ref.shape[1], C), f32)
+    for _ in range(3):
+        hi = x_node.astype(jnp.bfloat16)
+        rep = rep + jax.lax.dot_general(
+            hi, E, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        x_node = x_node - hi.astype(f32)
+
+    plr = rep[0:3 * P]
+    norm_plr = rep[3 * P:4 * P]
+    r_row = lambda i: rep[4 * P + i:4 * P + i + 1]
+    t_row = lambda i: rep[4 * P + 9 + i:4 * P + 10 + i]
+    pgr = rep[4 * P + 12:7 * P + 12]
+
+    ngx, ngy, ngz = ngT[:P], ngT[P:2 * P], ngT[2 * P:]
+    dx = ngx - t_row(0)
+    dy = ngy - t_row(1)
+    dz = ngz - t_row(2)
+    nlx = r_row(0) * dx + r_row(3) * dy + r_row(6) * dz
+    nly = r_row(1) * dx + r_row(4) * dy + r_row(7) * dz
+    nlz = r_row(2) * dx + r_row(5) * dy + r_row(8) * dz
+    norm_nl = jnp.sqrt(nlx * nlx + nly * nly + nlz * nlz + eps)
+    ddx = pgr[:P] - ngx
+    ddy = pgr[P:2 * P] - ngy
+    ddz = pgr[2 * P:] - ngz
+    norm_pair = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + eps)
+
+    featT = jnp.concatenate([plr, norm_plr, nlx, nly, nlz, norm_nl,
+                             norm_pair], axis=0)                 # [9P, C]
+    msg_gT = jnp.dot(wgT_ref[...].astype(cd), featT.astype(cd),
+                     preferred_element_type=f32)                 # [H, C]
+    msg_g = msg_gT.T                                             # [C, H]
+
+    x = jnp.dot(he_ref[...].astype(cd), whe_ref[...].astype(cd),
+                preferred_element_type=f32)
+    x = x + msg_g + be_ref[...]
+    x = x.reshape(blk, K, H) + per_i_ref[...][:, None, :]
+    # pj carries exactly the values the unfused path's gathered j-term has
+    # (bf16 stream: exactly-bf16 floats in f32; f32 stream: exact f32)
+    x = act(x.reshape(C, H) + pj)
+    x = _message_chain(x.astype(cd), w1_ref[...].astype(cd), b1_ref[...],
+                       w2_ref[...].astype(cd), b2_ref[...], act)
+
+    if pool:
+        x = x.reshape(blk, K, H) * mask_ref[...][..., None]
+        out_ref[...] = (x.sum(axis=1) / float(K)).astype(out_ref.dtype)
+    else:
+        out_ref[...] = x.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "P", "act_name", "pool", "blk", "compute_dtype",
+                     "interpret"))
+def fused_message_geom_gather(per_i, h_E, node_stackT, idx_flat, per_j, pg,
+                              mask_attend,
+                              w_he, w_g_perm, b_e, w1, b1, w2, b2,
+                              K: int = 32, P: int = 8, act_name: str = "relu",
+                              pool: bool = True, blk: int = 64,
+                              compute_dtype=jnp.bfloat16,
+                              interpret: bool = False):
+    """``fused_message_geom_lanes`` with IN-KERNEL one-hot gathers over one
+    batch element (see ``_geom_gather_kernel``).
+
+    Args:
+        idx_flat: [L*K] int32 flattened neighbor indices.
+        per_j: [L, H] ungathered j-term table, stream dtype.
+        pg: [L, 3P] f32 global point planes (ungathered).
+    Other args/returns as ``fused_message_geom_lanes``.
+    """
+    L, H = per_i.shape
+    He = h_E.shape[-1]
+    L_pad = -(-L // blk) * blk
+    R = node_stackT.shape[-1]
+
+    def pad_rows(x, rows):
+        return jnp.pad(x, [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+    per_i_p = pad_rows(per_i.astype(jnp.float32), L_pad)
+    he_p = pad_rows(h_E.reshape(L * K, He), L_pad * K)
+    nodeT_p = pad_rows(node_stackT.astype(jnp.float32), L_pad)
+    idx_p = jnp.pad(idx_flat.astype(jnp.int32),
+                    (0, L_pad * K - idx_flat.shape[0]))
+    mask_p = pad_rows(mask_attend.astype(jnp.float32), L_pad)
+
+    grid = (L_pad // blk,)
+    out_shape = (jax.ShapeDtypeStruct((L_pad, H), jnp.float32) if pool
+                 else jax.ShapeDtypeStruct((L_pad * K, H), h_E.dtype))
+    out_spec = (pl.BlockSpec((blk, H), lambda r: (r, 0), memory_space=pltpu.VMEM)
+                if pool else
+                pl.BlockSpec((blk * K, H), lambda r: (r, 0), memory_space=pltpu.VMEM))
+
+    row = lambda cols: pl.BlockSpec((blk, cols), lambda r: (r, 0),
+                                    memory_space=pltpu.VMEM)
+    erow = lambda cols: pl.BlockSpec((blk * K, cols), lambda r: (r, 0),
+                                     memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_geom_gather_kernel, K=K, P=P, L=L,
+                          act_name=act_name, pool=pool,
+                          compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[row(H), erow(He), row(R),
+                  pl.BlockSpec((blk * K,), lambda r: (r,),
+                               memory_space=pltpu.VMEM),
+                  full(), full(),
+                  pl.BlockSpec((blk, K), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [full()] * 7,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(per_i_p, he_p, nodeT_p, idx_p, per_j, pg.astype(jnp.float32), mask_p,
+      w_he.astype(jnp.float32),
+      w_g_perm.astype(jnp.float32).T,
+      b_e.astype(jnp.float32).reshape(1, -1),
+      w1.astype(jnp.float32), b1.astype(jnp.float32).reshape(1, -1),
+      w2.astype(jnp.float32), b2.astype(jnp.float32).reshape(1, -1))
+
+    if pool:
+        return out[:L]
+    return out[: L * K].reshape(L, K, H)
+
+
 def _node_stack_rows(P: int) -> int:
     """Sublane row count of the per-node transposed stack consumed by
     ``_geom_lanes_kernel``: [pl planes (3P) | norm_pl (P) | R9 (9) |
@@ -354,17 +551,20 @@ def fused_message_geom_lanes(per_i, per_j_gathered, h_E, node_stackT,
                              ngT, mask_attend,
                              w_he, w_g_perm, b_e, w1, b1, w2, b2,
                              K: int = 32, P: int = 8, act_name: str = "relu",
-                             pool: bool = True, blk: int = 64,
+                             pool: bool = True, blk: int = 128,
                              compute_dtype=jnp.bfloat16,
                              interpret: bool = False):
     """``fused_message`` with lane-major in-kernel geometry over one batch
     element (see ``_geom_lanes_kernel``).
 
     Args:
-        node_stackT: [R_pad, L] f32 transposed per-node stack
-            (``build_node_stack(...).T``).
-        ngT: [3P, L*K] f32 lane-major gathered neighbor global-point planes
-            (``take_along_axis(pg_T, idx, axis=-1)`` — gather along lanes).
+        node_stackT: [L, R_pad] f32 per-node stack, ROW-major
+            (``build_node_stack(...)``; the kernel contracts its transpose
+            on the MXU — a lane-dim block of the transposed layout is not
+            a legal Mosaic block shape).
+        ngT: [L, K, 3P] f32 gathered neighbor global-point planes,
+            ROW-major (``gather_nodes(pg_planes, idx)`` — the fast row
+            gather; the kernel transposes each block in VMEM).
         w_g_perm: [9P, H] Dense_e geometry rows pre-permuted with
             ``_geom_weight_perm`` (same plane-major order as the AoS geom
             kernel).
@@ -373,7 +573,7 @@ def fused_message_geom_lanes(per_i, per_j_gathered, h_E, node_stackT,
     L, H = per_i.shape
     He = h_E.shape[-1]
     L_pad = -(-L // blk) * blk
-    R = node_stackT.shape[0]
+    R = node_stackT.shape[-1]
 
     def pad_rows(x, rows):
         return jnp.pad(x, [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
@@ -384,8 +584,8 @@ def fused_message_geom_lanes(per_i, per_j_gathered, h_E, node_stackT,
     per_i_p = pad_rows(per_i.astype(jnp.float32), L_pad)
     pj_p = pad_rows(per_j_gathered.reshape(L * K, H), L_pad * K)
     he_p = pad_rows(h_E.reshape(L * K, He), L_pad * K)
-    nodeT_p = pad_lanes(node_stackT.astype(jnp.float32), L_pad)
-    ngT_p = pad_lanes(ngT.astype(jnp.float32), L_pad * K)
+    nodeT_p = pad_rows(node_stackT.astype(jnp.float32), L_pad)
+    ngT_p = pad_rows(ngT.reshape(L * K, -1).astype(jnp.float32), L_pad * K)
     mask_p = pad_rows(mask_attend.astype(jnp.float32), L_pad)
 
     grid = (L_pad // blk,)
@@ -399,15 +599,13 @@ def fused_message_geom_lanes(per_i, per_j_gathered, h_E, node_stackT,
                                     memory_space=pltpu.VMEM)
     erow = lambda cols: pl.BlockSpec((blk * K, cols), lambda r: (r, 0),
                                      memory_space=pltpu.VMEM)
-    lane = lambda rows, c: pl.BlockSpec((rows, c), lambda r: (0, r),
-                                        memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_geom_lanes_kernel, K=K, P=P, act_name=act_name,
                           pool=pool, compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[row(H), erow(H), erow(He),
-                  lane(R, blk), lane(3 * P, blk * K),
+                  row(R), erow(3 * P),
                   pl.BlockSpec((blk, K), lambda r: (r, 0),
                                memory_space=pltpu.VMEM)]
                  + [full()] * 7,

@@ -253,6 +253,36 @@ def test_fused_messages_geom_lanes_match_unfused(small_batch):
     np.testing.assert_allclose(np.asarray(h_g), np.asarray(h_u), atol=2e-5)
 
 
+def test_fused_messages_geom_gather_match_unfused(small_batch):
+    """The in-kernel-GATHER variant (fused_messages="geom_gather",
+    interpret mode on CPU) must match the unfused jnp path through the full
+    network — locks the one-hot j-term/neighbor-plane selections (exact
+    bf16 / bf16x3 payload handling) on top of the lane-major geometry."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    from packppi_tpu.models.ipmp import FactoredMessageMLP
+    from unittest import mock
+
+    model_g = TorsionalDiffusion.create(NC(fused_messages="geom_gather"),
+                                        SampleConfig())
+    model_u = TorsionalDiffusion.create(NC(), SampleConfig())
+    params = model_u.init(jax.random.key(0), small_batch)
+    t = jnp.full(small_batch.residue_mask.shape, 0.3)
+
+    s_u, h_u = model_u.apply(params, small_batch, small_batch.SC_D, t)
+
+    orig = FactoredMessageMLP.geom_fused_gather
+
+    def patched(self, *args, **kw):
+        kw["interpret"] = True
+        return orig(self, *args, **kw)
+
+    with mock.patch.object(FactoredMessageMLP, "geom_fused_gather", patched):
+        s_g, h_g = model_g.apply(params, small_batch, small_batch.SC_D, t)
+
+    np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_u), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_g), np.asarray(h_u), atol=2e-5)
+
+
 def test_fused_layers_match_unfused(small_batch):
     """The step-fused Pallas layer path (two VMEM-resident passes per IPMP
     layer, interpret mode on CPU) must match the unfused jnp path through

@@ -62,6 +62,9 @@ def bench_sampler():
         ("geom_lanes_bf16_chain", NetworkConfig(compute_dtype="bfloat16",
                                                 fused_messages="geom_lanes",
                                                 fused_chain=True)),
+        ("geom_gather_bf16_chain", NetworkConfig(compute_dtype="bfloat16",
+                                                 fused_messages="geom_gather",
+                                                 fused_chain=True)),
         ("local_bf16_fused", NetworkConfig(compute_dtype="bfloat16", fused_messages=True,
                                            geometry_mode="local")),
         ("local_bf16_unfused", NetworkConfig(compute_dtype="bfloat16",
