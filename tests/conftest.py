@@ -64,6 +64,7 @@ _SMOKE = {
     "test_geometry_features_lanes_matches_planes",  # lane-major geometry (r4)
     "test_metric_logger_wandb_backend",         # logger backends (r4)
     "test_fused_chain_matches_unfused",         # fused post-message chains (r4)
+    "test_fused_messages_geom_lanes_match_unfused",  # adopted TPU default (r5)
 }
 
 
