@@ -18,6 +18,17 @@ from packppi_tpu.models.layers import MLP
 from packppi_tpu.ops.graph import (gather_nodes, gather_nodes_mg,
                                    resolve_mxu_gather_grad)
 
+# With geom_lanes + fused_chain, fold the edge chain into the lanes
+# message kernel (chain_weights path). Read at trace time, like
+# ops.pallas_layer.INTERPRET. DEFAULT OFF: the interleaved same-process
+# A/B (tools/bench_fold.py, r5) measured folded 22.31 vs separate
+# 22.02 ms — the eliminated [L*K, H] stream round trip (~1.4 ms at peak
+# BW) is outweighed by lost kernel overlap and the VMEM pressure of the
+# chain weights + chunked 4H FFN inside the blk=128 message kernel. The
+# capability stays (interpret-parity-tested) as the measured closure of
+# the last bounded-but-untried lever in PERF.md's irreducibility account.
+FOLD_EDGE_CHAIN = False
+
 
 
 def geometry_global_points(p_local: jnp.ndarray, frames) -> jnp.ndarray:
@@ -340,7 +351,7 @@ class FactoredMessageMLP(nn.Module):
 
     def geom_fused_lanes(self, h_V, h_E, idx, p_local, frames,
                          mask_attend=None, pool: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False, chain_weights=None):
         """Fused message path with LANE-MAJOR in-kernel geometry
         (ops.pallas_ipmp.fused_message_geom_lanes): like ``geom_fused`` the
         [B, L, K, 9P] feature tensor never exists in HBM, but the in-kernel
@@ -388,6 +399,7 @@ class FactoredMessageMLP(nn.Module):
                 self.Dense_e.kernel[:He], w_g_perm, self.Dense_e.bias,
                 self.Dense_1.kernel, self.Dense_1.bias,
                 self.Dense_2.kernel, self.Dense_2.bias,
+                chain_weights=chain_weights,
                 K=idx.shape[-1], P=P, act_name=self.act, pool=pool,
                 # blk swept 64/96/128 on-chip: 22.17/21.90/21.82 ms pack —
                 # unlike the AoS geom kernel (VMEM-forced to 64), the
@@ -708,13 +720,36 @@ class InvariantPointLayer(nn.Module):
 
         if self.edge_update and do_edge_update:
             points_edge = nn.Dense(self.n_points * 3, kernel_init=nn.initializers.xavier_uniform())
+            edge_chain_folded = False
             if geom_in_kernel:
                 p_local = points_edge(h_V).reshape(B, L, self.n_points, 3)
                 mlp2 = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)
-                gf = {"geom_lanes": mlp2.geom_fused_lanes,
-                      "geom_gather": mlp2.geom_fused_gather}.get(fused, mlp2.geom_fused)
-                e_msg = gf(h_V, h_E, idx, p_local, frames, mask_attend,
-                           pool=False)
+                if fused == "geom_lanes" and use_fc and FOLD_EDGE_CHAIN:
+                    # fold the edge chain INTO the lanes message kernel:
+                    # the [B, L*K, H] message stream never round-trips HBM
+                    # between the message and chain kernels, and h_E is
+                    # read once instead of twice (values identical — the
+                    # kernel reproduces the two-kernel boundary rounding)
+                    fcp = self.variables["params"]
+                    cw = (fcp["LayerNorm_2"]["scale"],
+                          fcp["LayerNorm_2"]["bias"],
+                          fcp["MLP_3"]["Dense_0"]["kernel"],
+                          fcp["MLP_3"]["Dense_0"]["bias"],
+                          fcp["MLP_3"]["Dense_1"]["kernel"],
+                          fcp["MLP_3"]["Dense_1"]["bias"],
+                          fcp["LayerNorm_3"]["scale"],
+                          fcp["LayerNorm_3"]["bias"])
+                    h_E = mlp2.geom_fused_lanes(
+                        h_V, h_E, idx, p_local, frames, mask_attend,
+                        pool=False, chain_weights=cw)
+                    e_msg = None
+                    edge_chain_folded = True
+                else:
+                    gf = {"geom_lanes": mlp2.geom_fused_lanes,
+                          "geom_gather": mlp2.geom_fused_gather}.get(
+                        fused, mlp2.geom_fused)
+                    e_msg = gf(h_V, h_E, idx, p_local, frames, mask_attend,
+                               pool=False)
             else:
                 mlp2 = FactoredMessageMLP(self.hidden_dim, name="MLP_2", **kw)
                 geom, pjg = self._geom_and_pjg(mlp2, h_V, h_E, idx, frames,
@@ -723,7 +758,9 @@ class InvariantPointLayer(nn.Module):
                     h_V, h_E, idx, geom, mask_attend, pool=False,
                     fused=bool(fused),
                     blk=128 if deterministic else 64, pjg=pjg)
-            if use_fc:
+            if edge_chain_folded:
+                pass  # chain ran inside the lanes message kernel
+            elif use_fc:
                 from packppi_tpu.ops.pallas_layer import apply_fused_chain
                 h_E = apply_fused_chain(
                     self.variables["params"],

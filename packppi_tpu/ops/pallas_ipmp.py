@@ -237,11 +237,17 @@ def fused_message_geom(per_i, per_j_gathered, h_E, p_local_planes, ng_planes,
     return out[: L * K].reshape(L, K, H)
 
 
-def _geom_lanes_kernel(per_i_ref, pj_ref, he_ref, nodeT_ref, ngT_ref,
-                       mask_ref,
-                       whe_ref, wgT_ref, be_ref, w1_ref, b1_ref, w2_ref,
-                       b2_ref, out_ref, *, K: int, P: int, act_name: str,
-                       pool: bool, compute_dtype):
+_LN_EPS = 1e-6  # flax.linen.LayerNorm default (keep with pallas_layer._ln)
+
+
+def _ln_rows(x, scale, bias):
+    m = jnp.mean(x, -1, keepdims=True)
+    v = jnp.mean(x * x, -1, keepdims=True) - m * m
+    return (x - m) * jax.lax.rsqrt(jnp.maximum(v, 0.0) + _LN_EPS) * scale + bias
+
+
+def _geom_lanes_kernel(*refs, K: int, P: int, act_name: str,
+                       pool: bool, compute_dtype, with_chain: bool = False):
     """Message kernel with LANE-MAJOR in-kernel geometry.
 
     The r4 ``_geom_fused_kernel`` was rejected because its geometry math ran
@@ -266,7 +272,25 @@ def _geom_lanes_kernel(per_i_ref, pj_ref, he_ref, nodeT_ref, ngT_ref,
 
     The [L*K, 9P] feature tensor never touches HBM, and — unlike the AoS
     variant — nothing in VMEM is [.., K, P]-shaped.
+
+    ``with_chain`` (edge passes only): the post-message residual->LN->FFN
+    ->LN chain (ops.pallas_layer._chain_kernel semantics, pre_mask) runs in
+    the SAME kernel, so the [C, H] message stream never round-trips HBM
+    between the message and chain kernels; the kernel reads h_E once and
+    writes the updated h_E once. The message->chain boundary rounding of
+    the two-kernel path (message output written in the stream dtype) is
+    reproduced with an explicit cast, so values are identical. The FFN
+    tail is chunked over 1024-row slices to bound the [rows, 4H] hidden.
     """
+    if with_chain:
+        (per_i_ref, pj_ref, he_ref, nodeT_ref, ngT_ref, mask_ref,
+         whe_ref, wgT_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         ln2s_ref, ln2b_ref, cf1_ref, cf1b_ref, cf2_ref, cf2b_ref,
+         ln3s_ref, ln3b_ref, out_ref) = refs
+    else:
+        (per_i_ref, pj_ref, he_ref, nodeT_ref, ngT_ref, mask_ref,
+         whe_ref, wgT_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = refs
     blk = per_i_ref.shape[0]
     H = per_i_ref.shape[1]
     C = blk * K
@@ -338,8 +362,37 @@ def _geom_lanes_kernel(per_i_ref, pj_ref, he_ref, nodeT_ref, ngT_ref,
     if pool:
         x = x.reshape(blk, K, H) * mask_ref[...][..., None]
         out_ref[...] = (x.sum(axis=1) / float(K)).astype(out_ref.dtype)
-    else:
+        return
+    if not with_chain:
         out_ref[...] = x.astype(out_ref.dtype)
+        return
+
+    # ---- in-kernel edge chain (pallas_layer._chain_kernel, pre_mask) ----
+    sd = he_ref.dtype
+    rnd = lambda v: v.astype(sd).astype(f32)
+    hp = (jax.lax.Precision.HIGHEST
+          if jnp.dtype(cd) == jnp.float32 else None)
+    ma = mask_ref[...]                                           # [blk, K]
+    # the two-kernel boundary: message output rounds to the stream dtype;
+    # pre_mask multiplies in that dtype (0/1 mask — exact)
+    m = (x.astype(sd).reshape(blk, K, H)
+         * ma[..., None].astype(sd)).reshape(C, H)
+    x0 = (he_ref[...] + m).astype(f32)
+    CH = 1024 if C % 1024 == 0 else C
+    for c0 in range(0, C, CH):
+        sl = slice(c0, c0 + CH)
+        xx = rnd(_ln_rows(x0[sl], ln2s_ref[...], ln2b_ref[...]))
+        h = rnd(act(rnd(jnp.dot(xx.astype(cd), cf1_ref[...].astype(cd),
+                                preferred_element_type=f32, precision=hp)
+                        + cf1b_ref[...])))
+        h = rnd(jnp.dot(h.astype(cd), cf2_ref[...].astype(cd),
+                        preferred_element_type=f32, precision=hp)
+                + cf2b_ref[...])
+        y = _ln_rows(xx + h, ln3s_ref[...], ln3b_ref[...])
+        bc = CH // K
+        y = (y.reshape(bc, K, H)
+             * ma[c0 // K:(c0 + CH) // K][..., None]).reshape(CH, H)
+        out_ref[sl, :] = y.astype(out_ref.dtype)
 
 
 def _geom_gather_kernel(per_i_ref, he_ref, nodeT_ref, idx_ref, perj_ref,
@@ -550,6 +603,7 @@ def build_node_stack(p_local_planes, norm_pl, rot9, trans3, pg_planes):
 def fused_message_geom_lanes(per_i, per_j_gathered, h_E, node_stackT,
                              ngT, mask_attend,
                              w_he, w_g_perm, b_e, w1, b1, w2, b2,
+                             chain_weights=None,
                              K: int = 32, P: int = 8, act_name: str = "relu",
                              pool: bool = True, blk: int = 128,
                              compute_dtype=jnp.bfloat16,
@@ -600,15 +654,26 @@ def fused_message_geom_lanes(per_i, per_j_gathered, h_E, node_stackT,
     erow = lambda cols: pl.BlockSpec((blk * K, cols), lambda r: (r, 0),
                                      memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    with_chain = chain_weights is not None and not pool
+    _row2 = lambda a: a.astype(jnp.float32).reshape(1, -1)
+    extra_args = ()
+    if with_chain:
+        ln2s, ln2b, cf1, cf1b, cf2, cf2b, ln3s, ln3b = chain_weights
+        extra_args = (_row2(ln2s), _row2(ln2b),
+                      cf1.astype(jnp.float32), _row2(cf1b),
+                      cf2.astype(jnp.float32), _row2(cf2b),
+                      _row2(ln3s), _row2(ln3b))
+
     out = pl.pallas_call(
         functools.partial(_geom_lanes_kernel, K=K, P=P, act_name=act_name,
-                          pool=pool, compute_dtype=compute_dtype),
+                          pool=pool, compute_dtype=compute_dtype,
+                          with_chain=with_chain),
         grid=grid,
         in_specs=[row(H), erow(H), erow(He),
                   row(R), erow(3 * P),
                   pl.BlockSpec((blk, K), lambda r: (r, 0),
                                memory_space=pltpu.VMEM)]
-                 + [full()] * 7,
+                 + [full()] * (7 + len(extra_args)),
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -617,7 +682,8 @@ def fused_message_geom_lanes(per_i, per_j_gathered, h_E, node_stackT,
       w_g_perm.astype(jnp.float32).T,             # [H, 9P] for W^T @ feat_T
       b_e.astype(jnp.float32).reshape(1, -1),
       w1.astype(jnp.float32), b1.astype(jnp.float32).reshape(1, -1),
-      w2.astype(jnp.float32), b2.astype(jnp.float32).reshape(1, -1))
+      w2.astype(jnp.float32), b2.astype(jnp.float32).reshape(1, -1),
+      *extra_args)
 
     if pool:
         return out[:L]

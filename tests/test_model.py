@@ -253,6 +253,46 @@ def test_fused_messages_geom_lanes_match_unfused(small_batch):
     np.testing.assert_allclose(np.asarray(h_g), np.asarray(h_u), atol=2e-5)
 
 
+def test_geom_lanes_folded_edge_chain_matches_unfused(small_batch):
+    """geom_lanes + fused_chain folds the EDGE chain into the lanes message
+    kernel (chain_weights path). Interpret mode on CPU: the full network
+    must match the unfused jnp path — locks the in-kernel chain math, the
+    reproduced message->chain boundary rounding, and the mask handling."""
+    from packppi_tpu.models.diffusion_net import NetworkConfig as NC
+    from packppi_tpu.models.ipmp import FactoredMessageMLP
+    import packppi_tpu.ops.pallas_layer as pallas_layer
+    from unittest import mock
+
+    import packppi_tpu.models.ipmp as ipmp_mod
+
+    model_f = TorsionalDiffusion.create(
+        NC(fused_messages="geom_lanes", fused_chain=True), SampleConfig())
+    model_u = TorsionalDiffusion.create(NC(), SampleConfig())
+    params = model_u.init(jax.random.key(0), small_batch)
+    t = jnp.full(small_batch.residue_mask.shape, 0.3)
+
+    s_u, h_u = model_u.apply(params, small_batch, small_batch.SC_D, t)
+
+    orig = FactoredMessageMLP.geom_fused_lanes
+
+    def patched(self, *args, **kw):
+        kw["interpret"] = True
+        return orig(self, *args, **kw)
+
+    prev, pallas_layer.INTERPRET = pallas_layer.INTERPRET, True
+    prev_fold, ipmp_mod.FOLD_EDGE_CHAIN = ipmp_mod.FOLD_EDGE_CHAIN, True
+    try:
+        with mock.patch.object(FactoredMessageMLP, "geom_fused_lanes",
+                               patched):
+            s_f, h_f = model_f.apply(params, small_batch, small_batch.SC_D, t)
+    finally:
+        pallas_layer.INTERPRET = prev
+        ipmp_mod.FOLD_EDGE_CHAIN = prev_fold
+
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_u), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=3e-5)
+
+
 def test_fused_messages_geom_gather_match_unfused(small_batch):
     """The in-kernel-GATHER variant (fused_messages="geom_gather",
     interpret mode on CPU) must match the unfused jnp path through the full
