@@ -130,7 +130,8 @@ class ChiScoreNetwork(nn.Module):
                 or c.fused_layers):
             raise ValueError(
                 "geometry_mode='local' is incompatible with the global-point "
-                "kernels (fused_messages='geom' / fused_layers)")
+                "kernels (fused_messages='geom'/'geom_lanes'/'geom_gather' "
+                "/ fused_layers)")
         if c.fused_chain_train and c.dropout != 0.0:
             raise ValueError(
                 "fused_chain_train requires dropout=0.0: the fused chain "
