@@ -258,14 +258,14 @@ def _geom_lanes_kernel(*refs, K: int, P: int, act_name: str,
     occupancy; C is a multiple of 128), the layout the end-of-r4 re-profile
     named as the untried fix (PERF.md:231-234):
 
-      * per-node quantities arrive TRANSPOSED ([rows, blk], see
-        ``_NODE_STACK_ROWS``) and are lane-expanded across each node's K
-        edge lanes by one exact one-hot MXU contraction (HIGHEST precision
-        — the expansion weights are exactly 1.0 and the f32 payload must
-        not be decomposed to bf16: global coordinates lose ~0.5 A at bf16,
-        the measured r4 failure mode);
-      * the gathered neighbor planes arrive already lane-major
-        ([3P, C] blocks of the [3P, L*K] XLA lane-gather output);
+      * per-node quantities arrive as ONE row-major [blk, R] stack (see
+        ``build_node_stack``) and are lane-expanded across each node's K
+        edge lanes by an exact one-hot MXU contraction — bf16x3
+        decomposition, see the in-body comment (plain bf16 would round
+        global coordinates by ~0.5 A, the measured r4 failure mode;
+        HIGHEST-precision f32 measured ~100x too slow at this shape);
+      * the gathered neighbor planes arrive from the standard fast XLA
+        ROW gather and are transposed to lane-major in VMEM (free);
       * the geometry feature block [9P, C] feeds the message matmul in
         transposed form (W_g^T @ feat_T on the MXU) and ONE [H, C]->[C, H]
         transpose rejoins the standard row-major message chain.
