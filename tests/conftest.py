@@ -33,7 +33,7 @@ def golden_chem():
 # files. Measured on this 1-core host (times vary ~2x with load):
 #
 #   pytest -m smoke   ~2 min   one fast test per subsystem (list below)
-#   pytest -m core    ~5-9 min parity-critical golden/oracle files (below)
+#   pytest -m core    ~4-9 min parity-critical golden/oracle files (below)
 #   pytest            ~45 min  everything (245 tests)
 #
 # Multichip sharding is deliberately absent from the fast tiers: the driver
@@ -73,7 +73,7 @@ _SMOKE = {
 # Pallas kernel parity, the fixed-noise full-pipeline golden, converted-weight
 # activation goldens, and the reference-quirk metric definitions. This is the
 # subset that proves reference parity (the set the r3 judge ran by hand);
-# measured 50 tests / ~9 min under load on this host.
+# measured 53 tests / 3.6 min solo, ~9 min under load on this host.
 _CORE_FILES = {
     "test_chem_tables.py",
     "test_geometry.py",
