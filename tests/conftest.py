@@ -34,7 +34,7 @@ def golden_chem():
 #
 #   pytest -m smoke   ~2 min   one fast test per subsystem (list below)
 #   pytest -m core    ~4-9 min parity-critical golden/oracle files (below)
-#   pytest            ~45 min  everything (245 tests)
+#   pytest            ~30-45 min  everything (253 tests)
 #
 # Multichip sharding is deliberately absent from the fast tiers: the driver
 # dry-runs the full multi-chip path (__graft_entry__.dryrun_multichip)
